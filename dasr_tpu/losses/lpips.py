@@ -1,0 +1,155 @@
+"""LPIPS (Learned Perceptual Image Patch Similarity), TPU-native.
+
+Reimplements the reference's vendored PerceptualSimilarity 'net-lin' metric
+(reference: codes/PerceptualSimilarity/models/networks_basic.py:27-111):
+scaling layer -> frozen backbone taps -> unit-normalize -> squared diff ->
+learned 1x1 conv per tap -> spatial mean -> sum. One jitted forward; both
+images' features come from a single batched backbone pass.
+
+Weights: the per-tap linear heads ship with the reference as tiny ``.pth``
+files (codes/PerceptualSimilarity/models/weights/v0.1/{alex,vgg}.pth — data,
+loadable with torch CPU); backbone weights are imported from a
+torchvision-format state dict when available. Without real weights the
+module still runs (deterministic init) for shape/smoke tests, but quality
+parity requires importing the published weights — see
+``load_lpips_params``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dasr_tpu.nn.vgg import AlexNetFeatures, VGG16Features
+
+Dtype = Any
+
+# ScalingLayer constants (networks_basic.py:94-101)
+_SHIFT = jnp.array([-0.030, -0.088, -0.188])
+_SCALE = jnp.array([0.458, 0.448, 0.450])
+
+_CHNS = {"alex": (64, 192, 384, 256, 256), "vgg": (64, 128, 256, 512, 512)}
+
+
+def _normalize(feat, eps=1e-10):
+    norm = jnp.sqrt(jnp.sum(feat.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
+    return feat / (norm + eps).astype(feat.dtype)
+
+
+class LPIPS(nn.Module):
+    """net-lin LPIPS; inputs NHWC in [-1, 1] (like the reference's DistModel).
+
+    ``__call__(in0, in1, normalize=True)`` accepts [0,1] inputs and maps them
+    to [-1,1] first (PerceptualLoss.forward semantics, models/util.py:28-40).
+    """
+
+    net: str = "alex"
+    use_lins: bool = True  # 'net-lin' vs plain 'net' mode
+    spatial: bool = False
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, in0, in1, normalize: bool = False):
+        if normalize:
+            in0 = 2 * in0 - 1
+            in1 = 2 * in1 - 1
+        shift = _SHIFT.astype(in0.dtype)
+        scale = _SCALE.astype(in0.dtype)
+        in0 = (in0 - shift) / scale
+        in1 = (in1 - shift) / scale
+
+        backbone = (
+            AlexNetFeatures(dtype=self.dtype, name="backbone")
+            if self.net == "alex"
+            else VGG16Features(dtype=self.dtype, name="backbone")
+        )
+        # one backbone pass over both images
+        both = jnp.concatenate([in0, in1], axis=0)
+        taps = backbone(both)
+        b = in0.shape[0]
+
+        total = None
+        for k, feat in enumerate(taps):
+            f0, f1 = _normalize(feat[:b]), _normalize(feat[b:])
+            diff = (f0 - f1) ** 2
+            if self.use_lins:
+                w = self.param(
+                    f"lin{k}",
+                    nn.initializers.constant(1.0 / _CHNS[self.net][k]),
+                    (diff.shape[-1], 1),
+                    jnp.float32,
+                )
+                d = diff.astype(jnp.float32) @ w  # 1x1 conv, no bias
+            else:
+                d = jnp.sum(diff.astype(jnp.float32), axis=-1, keepdims=True)
+            if self.spatial:
+                from dasr_tpu.ops.resize import bilinear_resize
+
+                d = bilinear_resize(d, in0.shape[-3], in0.shape[-2])
+            else:
+                d = jnp.mean(d, axis=(-3, -2), keepdims=True)
+            total = d if total is None else total + d
+        return total  # (B, 1, 1, 1) or (B, H, W, 1) if spatial
+
+
+def _torch_conv_to_nhwc(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def load_lpips_params(
+    net: str = "alex",
+    lin_path: Optional[str] = None,
+    backbone_path: Optional[str] = None,
+    base_params=None,
+):
+    """Build LPIPS params, importing torch weights where provided.
+
+    * ``lin_path`` — the bundled linear heads (keys ``lin{k}.model.1.weight``,
+      shape (1, C, 1, 1)); the reference ships them at
+      codes/PerceptualSimilarity/models/weights/v0.1/{alex,vgg}.pth.
+    * ``backbone_path`` — a torchvision alexnet/vgg16 state dict
+      (``features.{i}.weight/bias``).
+    * ``base_params`` — params pytree from ``LPIPS(...).init`` used as the
+      structural template; required.
+    """
+    import torch
+
+    params = jax.tree.map(np.asarray, base_params)
+
+    if lin_path and os.path.exists(lin_path):
+        sd = torch.load(lin_path, map_location="cpu", weights_only=True)
+        for k in range(5):
+            key = f"lin{k}.model.1.weight"
+            if key not in sd:  # some dumps drop the dropout index
+                key = f"lin{k}.model.0.weight"
+            w = sd[key].numpy()  # (1, C, 1, 1)
+            params["params"][f"lin{k}"] = w[0, :, 0, 0][:, None].astype(np.float32)
+
+    if backbone_path and os.path.exists(backbone_path):
+        sd = torch.load(backbone_path, map_location="cpu", weights_only=True)
+        conv_ids = sorted(
+            {
+                int(k.split(".")[1])
+                for k in sd
+                if k.startswith("features.") and k.endswith(".weight") and sd[k].dim() == 4
+            }
+        )
+        stack = params["params"]["backbone"]["stack"]
+        for j, i in enumerate(conv_ids):
+            stack[f"conv{j}"]["kernel"] = _torch_conv_to_nhwc(
+                sd[f"features.{i}.weight"].numpy()
+            )
+            stack[f"conv{j}"]["bias"] = sd[f"features.{i}.bias"].numpy()
+
+    return jax.tree.map(jnp.asarray, params)
+
+
+def reference_lin_weights_path(net: str = "alex") -> Optional[str]:
+    """Path to the reference's bundled v0.1 lin heads, if mounted."""
+    p = f"/root/reference/codes/PerceptualSimilarity/models/weights/v0.1/{net}.pth"
+    return p if os.path.exists(p) else None

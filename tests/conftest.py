@@ -1,0 +1,27 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+XLA_FLAGS must be set before jax initializes a backend; the axon
+sitecustomize force-registers the TPU platform, so we also override
+jax_platforms via jax.config (env vars alone are ignored once
+``axon.register`` has run).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,72 @@
+"""Metric parity: PSNR closed-form, SSIM identities, YCbCr round trips."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dasr_tpu.ops.metrics import (
+    bgr2ycbcr,
+    calculate_psnr,
+    calculate_ssim,
+    modcrop,
+    psnr_device,
+    rgb2ycbcr,
+    ssim_device,
+    ycbcr2rgb,
+)
+
+
+def test_psnr_closed_form():
+    a = np.zeros((8, 8, 3))
+    b = np.full((8, 8, 3), 16.0)  # mse = 256 -> psnr = 20 log10(255/16)
+    want = 20 * np.log10(255.0 / 16.0)
+    assert abs(calculate_psnr(a, b) - want) < 1e-9
+    assert calculate_psnr(a, a) == float("inf")
+
+
+def test_psnr_device_matches_host(rng):
+    a = rng.random((2, 16, 16, 3)) * 255
+    b = rng.random((2, 16, 16, 3)) * 255
+    got = np.asarray(psnr_device(jnp.asarray(a), jnp.asarray(b), 255.0))
+    want = [calculate_psnr(a[i], b[i]) for i in range(2)]
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_ssim_identity_and_range(rng):
+    img = (rng.random((32, 32, 3)) * 255).astype(np.float64)
+    assert abs(calculate_ssim(img, img) - 1.0) < 1e-9
+    noisy = np.clip(img + rng.normal(0, 20, img.shape), 0, 255)
+    s = calculate_ssim(img, noisy)
+    assert 0 < s < 1.0
+
+
+def test_ssim_device_matches_host(rng):
+    a = (rng.random((1, 24, 24, 3)) * 255).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 10, a.shape), 0, 255).astype(np.float32)
+    got = float(ssim_device(jnp.asarray(a), jnp.asarray(b))[0])
+    want = calculate_ssim(a[0], b[0])
+    assert abs(got - want) < 1e-4
+
+
+def test_ycbcr_grayscale_fixed_point():
+    # Y of mid-gray float 0.5: (0.5*255*(65.481+128.553+24.966)/255 + 16)/255
+    g = np.full((4, 4, 3), 0.5, dtype=np.float64)
+    y = rgb2ycbcr(g.copy(), only_y=True)
+    want = (0.5 * (65.481 + 128.553 + 24.966) + 16) / 255.0
+    np.testing.assert_allclose(y, want, atol=1e-6)
+    # bgr flips channel order
+    yb = bgr2ycbcr(g.copy(), only_y=True)
+    np.testing.assert_allclose(yb, want, atol=1e-6)
+
+
+def test_ycbcr_roundtrip(rng):
+    img = rng.random((8, 8, 3)).astype(np.float64) * 0.6 + 0.2
+    ycc = rgb2ycbcr(img.copy(), only_y=False)
+    back = ycbcr2rgb(ycc.copy())
+    np.testing.assert_allclose(back, img, atol=1e-3)
+
+
+def test_modcrop():
+    img = np.zeros((13, 10, 3))
+    assert modcrop(img, 4).shape == (12, 8, 3)
+    img2 = np.zeros((12, 8))
+    assert modcrop(img2, 4).shape == (12, 8)
