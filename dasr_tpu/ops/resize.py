@@ -115,6 +115,24 @@ def imresize(
     return out
 
 
+def imresize_np(img: np.ndarray, scale: float, antialiasing: bool = True,
+                clip: bool = True) -> np.ndarray:
+    """Host-side (numpy) MATLAB bicubic for data pipelines.
+
+    Same cached matrices as ``imresize``; used by dataloader workers so the
+    on-the-fly LR generation (reference: codes/SRN/data/LRHR_dataset.py
+    calling util.imresize_np) never touches the device.
+    """
+    img = np.asarray(img)
+    h, w = img.shape[-3], img.shape[-2]
+    out_h, out_w = math.ceil(h * scale), math.ceil(w * scale)
+    mh = _resize_matrix(h, out_h, scale, antialiasing)
+    mw = _resize_matrix(w, out_w, scale, antialiasing)
+    out = np.einsum("oh,...hwc->...owc", mh, img, optimize=True)
+    out = np.einsum("pw,...hwc->...hpc", mw, out, optimize=True)
+    return np.clip(out, 0.0, 1.0) if clip else out
+
+
 @functools.lru_cache(maxsize=256)
 def _bilinear_matrix(in_length: int, out_length: int):
     """torch F.interpolate(mode='bilinear', align_corners=False) weights."""

@@ -1,0 +1,111 @@
+"""1-step training tests on synthetic data (SURVEY.md §4) + SPMD checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dasr_tpu.core import mesh as meshlib
+from dasr_tpu.train.dsn_trainer import DSNConfig, DSNTrainer
+from dasr_tpu.train.srn_trainer import SRNConfig, SRNTrainer
+
+TINY_DSN = DSNConfig(num_res_blocks=1, kernel_size=5, w_tex=0.005, w_per=0.01)
+TINY_SRN = SRNConfig(nf=16, nb=1, gc=8, d_nf=16)
+
+
+def _dsn_batch(rng, b=2, hr=128):
+    lr = hr // 4
+    return {
+        "input": jnp.asarray(rng.random((b, hr, hr, 3)).astype(np.float32)),
+        "bicubic": jnp.asarray(rng.random((b, lr, lr, 3)).astype(np.float32)),
+        "disc": jnp.asarray(rng.random((b, lr, lr, 3)).astype(np.float32)),
+    }
+
+
+def _srn_batch(rng, b=2, lr=8, scale=4, ddm_half=True):
+    hr = lr * scale
+    ddm_hw = lr // 2 if ddm_half else lr
+    return {
+        "LR_fake": jnp.asarray(rng.random((b, lr, lr, 3)).astype(np.float32)),
+        "LR_real": jnp.asarray(rng.random((b, lr, lr, 3)).astype(np.float32)),
+        "HR": jnp.asarray(rng.random((b, hr, hr, 3)).astype(np.float32)),
+        "HR_unpair": jnp.asarray(rng.random((b, hr, hr, 3)).astype(np.float32)),
+        "fake_w": jnp.asarray(rng.random((b, ddm_hw, ddm_hw, 1)).astype(np.float32)),
+    }
+
+
+def _tree_l2_diff(a, b):
+    d = jax.tree.map(lambda x, y: float(jnp.sum((x - y) ** 2)), a, b)
+    return sum(jax.tree.leaves(d))
+
+
+def test_dsn_one_step_updates_and_finite(rng):
+    tr = DSNTrainer(TINY_DSN)
+    state = tr.init_state(jax.random.key(0), lr_size=32, hr_size=128)
+    batch = _dsn_batch(rng)
+    new_state, metrics = tr.train_step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert new_state.step == 1
+    assert _tree_l2_diff(new_state.g.params, state.g.params) > 0
+    assert _tree_l2_diff(new_state.d_target.params, state.d_target.params) > 0
+
+
+def test_dsn_gating():
+    tr = DSNTrainer(TINY_DSN)
+    state = tr.init_state(jax.random.key(0), lr_size=32, hr_size=128)
+    batch = _dsn_batch(np.random.default_rng(1))
+    s2, _ = tr.train_step(state, batch, do_g=False, do_d=True)
+    assert _tree_l2_diff(s2.g.params, state.g.params) == 0
+    assert _tree_l2_diff(s2.d_target.params, state.d_target.params) > 0
+
+
+def test_srn_dasr_one_step(rng):
+    tr = SRNTrainer(TINY_SRN)
+    state = tr.init_state(jax.random.key(0), lr_size=8)
+    batch = _srn_batch(rng)
+    new_state, metrics = tr.train_step(state, batch)
+    for k in (
+        "loss/l_g_pix",
+        "loss/l_g_LL_pix",
+        "loss/l_g_fea",
+        "loss/l_g_gan_target_Hf",
+        "loss/l_d_target_total",
+    ):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    assert _tree_l2_diff(new_state.g.params, state.g.params) > 0
+    assert _tree_l2_diff(new_state.d_target.params, state.d_target.params) > 0
+
+
+def test_srn_dual_domain_and_ragan(rng):
+    cfg = SRNConfig(nf=16, nb=1, gc=8, d_nf=16, gan_H_source=0.005, ragan=True)
+    tr = SRNTrainer(cfg)
+    state = tr.init_state(jax.random.key(0), lr_size=8)
+    batch = _srn_batch(rng)
+    new_state, metrics = tr.train_step(state, batch)
+    assert "loss/l_g_gan_source_H" in metrics
+    assert "loss/l_d_total" in metrics
+    assert _tree_l2_diff(new_state.d_source.params, state.d_source.params) > 0
+
+
+def test_srn_step_sharded_matches_single_device(rng):
+    """The same step under an 8-way data mesh must match 1-device numerics."""
+    mesh = meshlib.make_mesh(n_data=8)
+    batch = _srn_batch(rng, b=8)
+
+    tr1 = SRNTrainer(TINY_SRN)
+    state1 = tr1.init_state(jax.random.key(0), lr_size=8)
+    out1, m1 = tr1.train_step(state1, batch)
+
+    tr8 = SRNTrainer(TINY_SRN, mesh=mesh, lpips_variables=tr1.lpips_variables)
+    state8 = tr8.init_state(jax.random.key(0), lr_size=8)
+    sharded = meshlib.shard_batch(mesh, batch)
+    out8, m8 = tr8.train_step(state8, sharded)
+
+    # CPU matmul reassociation across shards costs a few ULPs; the params
+    # themselves must agree tightly.
+    diff = _tree_l2_diff(out1.g.params, out8.g.params)
+    assert diff < 1e-8, diff
+    np.testing.assert_allclose(
+        float(m1["loss/l_g_total"]), float(m8["loss/l_g_total"]), rtol=1e-4
+    )
