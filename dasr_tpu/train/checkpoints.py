@@ -98,9 +98,9 @@ def import_rrdbnet_params(path_or_sd, nb: int = 23) -> Dict[str, Any]:
         for j in range(3):
             rdb: Dict[str, Any] = {}
             for k in range(5):
-                rdb[f"conv_block_{k}"] = {
-                    "Conv_0": conv(f"model.1.sub.{i}.RDB{j+1}.conv{k+1}.0")
-                }
+                c = conv(f"model.1.sub.{i}.RDB{j+1}.conv{k+1}.0")
+                rdb[f"conv{k}_kernel"] = c["kernel"]
+                rdb[f"conv{k}_bias"] = c["bias"]
             rrdb[f"RDB5C_{j}"] = rdb
         params[f"RRDB_{i}"] = rrdb
     params["conv_block_1"] = {"Conv_0": conv(f"model.1.sub.{nb}")}
