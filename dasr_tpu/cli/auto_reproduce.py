@@ -1,0 +1,131 @@
+"""End-to-end reproduction orchestrator (reference: codes/Auto_Reproduce.py).
+
+``python -m dasr_tpu.cli.auto_reproduce --dataset aim2019 --artifact tdsr``
+runs the full three-stage pipeline *in-process* (no ``os.system``):
+
+  1. DSN GAN training with the launcher hyperparameters
+     (reference: codes/DSN/auto_reproduce_launcher_{aim2019,realsr}.sh:
+      aim2019 = DeResnet + FSD + avg_pool, w_tex 0.006, bs 8, crop 256;
+      realsr  = DeResnet + FSD + avg_pool, w_tex 0.005, bs 8, crop 128)
+  2. pseudo-LR + DDM dataset generation,
+  3. SRN/DASR training from a config derived like ``create_auto_json``
+     (Auto_Reproduce.py:8-27): the template JSON with HR/fake/real/weights
+     paths rewired from paths.yml and the DSN outputs.
+
+Stage handoff stays file-based (PNG/NPY/checkpoints), preserving the
+reference's staged architecture.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+# launcher hyperparameters per dataset (the reference's .sh files)
+_DSN_ARGS = {
+    "aim2019": [
+        "--dataset", "aim2019", "--artifacts", "tdsr",
+        "--generator", "DeResnet", "--discriminator", "FSD",
+        "--filter", "avg_pool", "--w_tex", "0.006",
+        "--batch_size", "8", "--num_workers", "8", "--crop_size", "256",
+    ],
+    "realsr": [
+        "--dataset", "realsr", "--artifacts", "tdrealsr",
+        "--generator", "DeResnet", "--discriminator", "FSD",
+        "--filter", "avg_pool", "--w_tex", "0.005",
+        "--batch_size", "8", "--num_workers", "8", "--crop_size", "128",
+    ],
+}
+
+_CREATE_DATASET_NAME = {"aim2019": "aim2019", "realsr": "realsr_tdrealsr"}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Auto Reproduce Script")
+    p.add_argument("--dataset", required=True, choices=["aim2019", "realsr"])
+    p.add_argument("--artifact", required=True, type=str)
+    p.add_argument("--paths_yml", default=None, type=str)
+    p.add_argument("--work_root", default="../../", type=str)
+    p.add_argument("--num_epochs", type=int, default=None,
+                   help="override DSN epochs (for smoke runs)")
+    p.add_argument("--niter", type=int, default=None,
+                   help="override SRN iterations (for smoke runs)")
+    p.add_argument("--skip_dsn", action="store_true")
+    p.add_argument("--skip_dataset", action="store_true")
+    args = p.parse_args(argv)
+
+    from dasr_tpu.cli import dsn_create_dataset, dsn_train, srn_train
+
+    paths_yml = args.paths_yml or os.path.join(
+        os.path.dirname(__file__), "..", "..", "paths.yml"
+    )
+    exp_root = os.path.join(args.work_root, "DSN_experiments")
+    res_root = os.path.join(args.work_root, "DSN_results")
+    save_name = f"0603_DSN_{args.dataset}"
+    lrs_name = f"0603_DSN_LRs_{args.dataset}"
+
+    # --- stage 1: DSN training ---
+    if not args.skip_dsn:
+        dsn_args = list(_DSN_ARGS[args.dataset]) + [
+            "--paths_yml", paths_yml,
+            "--experiments_root", exp_root,
+            "--save_path", save_name,
+        ]
+        if args.num_epochs:
+            dsn_args += ["--num_epochs", str(args.num_epochs),
+                         "--num_decay_epochs", str(max(1, args.num_epochs // 3))]
+        dsn_train.main(dsn_args)
+
+    # --- stage 2: LR + DDM generation ---
+    if not args.skip_dataset:
+        dsn_create_dataset.main(
+            [
+                "--dataset", _CREATE_DATASET_NAME[args.dataset],
+                "--checkpoint", os.path.join(exp_root, save_name, "checkpoints"),
+                "--generator", "DeResnet", "--discriminator", "FSD",
+                "--filter", "avg_pool",
+                "--name", lrs_name,
+                "--paths_yml", paths_yml,
+                "--results_root", res_root,
+            ]
+        )
+
+    # --- stage 3: SRN/DASR training from a derived config ---
+    from dasr_tpu.core.config import dataset_paths
+
+    reg = dataset_paths(paths_yml, args.dataset, args.artifact)
+    template = os.path.join(
+        os.path.dirname(__file__), "..", "configs",
+        "train_DASR_auto_reproduce.json",
+    )
+    with open(template) as f:
+        config = json.load(f)
+    config["name"] = f"0603_DASR_SRN_auto_reproduce_{args.dataset}"
+    config["datasets"]["train"]["dataroot_HR"] = reg["target"]
+    config["datasets"]["train"]["dataroot_fake_LR"] = os.path.join(
+        res_root, lrs_name, "imgs_from_target"
+    )
+    config["datasets"]["train"]["dataroot_real_LR"] = reg["source"]
+    config["datasets"]["train"]["dataroot_fake_weights"] = os.path.join(
+        res_root, lrs_name, "ddm_target"
+    )
+    config["datasets"]["val"]["dataroot_HR"] = reg["valid_hr"]
+    config["datasets"]["val"]["dataroot_LR"] = reg["valid_lr"]
+    config["path"]["root"] = os.path.join(args.work_root, "SRN_experiments")
+    if args.niter:
+        config["train"]["niter"] = args.niter
+        config["train"]["val_freq"] = max(1, args.niter // 4)
+        config["logger"]["save_checkpoint_freq"] = max(1, args.niter // 2)
+
+    derived = os.path.join(
+        args.work_root, f"train_DASR_auto_reproduce_{args.dataset}.json"
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(derived)), exist_ok=True)
+    with open(derived, "w") as f:
+        json.dump(config, f, indent=1)
+    srn_train.main(["-opt", derived])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""Dataset + domain-distance-map generation CLI.
+
+Reference-compatible ``python -m dasr_tpu.cli.dsn_create_dataset
+--checkpoint ... --name ...`` mirroring codes/DSN/create_dataset_modified.py:
+runs the trained DSN generator over every target HR image to produce
+pseudo-paired LRs (``imgs_from_target/*.png``) and back-projects the
+discriminator's patch scores into per-pixel DDMs (``ddm_target/*.npy``,
+shape (1,1,h,w) like the reference), optionally also for source images.
+
+TPU-native differences: the whole-image G/D forward runs tiled
+(dasr_tpu.ops.tiled) when images exceed the memory budget — the reference
+pushes full 2K images through un-tiled (create_dataset_modified.py:156) and
+simply OOMs on large inputs; the DDM splat is two MXU matmuls instead of a
+Python loop (dasr_tpu.ops.rf_splat).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="Apply the trained model to create a dataset")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--generator", type=str, default="DeResnet")
+    p.add_argument("--num_res_blocks", type=int, default=8)
+    p.add_argument("--discriminator", type=str, default="FSD")
+    p.add_argument("--kernel_size", type=int, default=5)
+    p.add_argument("--wgan", action="store_true")
+    p.add_argument("--no_highpass", dest="highpass", action="store_false")
+    p.add_argument("--filter", type=str, default="gau")
+    p.add_argument("--cat_or_sum", type=str, default="cat")
+    p.add_argument("--norm_layer", type=str, default="Instance")
+    p.add_argument("--artifacts", type=str, default="tdsr")
+    p.add_argument("--name", type=str, default="0603_DSN_LRs")
+    p.add_argument("--dataset", type=str, default="aim2019")
+    p.add_argument("--including_source_ddm", action="store_true")
+    p.add_argument("--upscale_factor", type=int, default=4, choices=[4, 1, 2])
+    p.add_argument("--paths_yml", type=str, default=None,
+                   help="dataset registry (defaults to the repo's paths.yml)")
+    p.add_argument("--results_root", type=str, default="../../DSN_results")
+    p.add_argument("--source_dir", type=str, default=None,
+                   help="override source dir (else from paths.yml)")
+    p.add_argument("--target_dir", type=str, default=None)
+    return p
+
+
+# dataset-name -> (registry dataset, artifact) used by the reference CLI
+_DATASET_KEYS = {
+    "aim2019": ("aim2019", "tdsr"),
+    "ntire2020": ("ntire2020", "tdsr"),
+    "realsr_tddiv2k": ("realsr", "tddiv2k"),
+    "realsr_tdrealsr": ("realsr", "tdrealsr"),
+    "realsr_tdrealsr_2x": ("realsr", "tdrealsr_x2"),
+    "camerasr": ("camerasr", "tdsr"),
+}
+
+
+def main(argv=None):
+    opt = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dasr_tpu.core.config import dataset_paths
+    from dasr_tpu.data.io import list_images, read_img, save_img
+    from dasr_tpu.nn.discriminators import FSDiscriminator
+    from dasr_tpu.nn.generators import DSGANGenerator, DeResnet
+    from dasr_tpu.ops.rf_splat import CONVNETS, ddm_shape_for, ddm_splat
+    from dasr_tpu.ops.tiled import tiled_apply
+    from dasr_tpu.train.checkpoints import (
+        import_deresnet_params,
+        import_dsgan_generator_params,
+        import_fsd_discriminator_params,
+        load_dsn_tar,
+        restore_checkpoint,
+    )
+
+    if opt.source_dir and opt.target_dir:
+        source_dir, target_dir = opt.source_dir, opt.target_dir
+    else:
+        key = _DATASET_KEYS.get(opt.dataset)
+        if key is None:
+            raise SystemExit(f"unknown --dataset {opt.dataset}")
+        paths_yml = opt.paths_yml or os.path.join(
+            os.path.dirname(__file__), "..", "..", "paths.yml"
+        )
+        reg = dataset_paths(paths_yml, *key)
+        source_dir, target_dir = reg["source"], reg["target"]
+
+    source_files = list_images(source_dir)
+    target_files = list_images(target_dir)
+
+    out_dir = os.path.join(opt.results_root, opt.name)
+    img_dir = os.path.join(out_dir, "imgs_from_target")
+    ddm_t_dir = os.path.join(out_dir, "ddm_target")
+    ddm_s_dir = os.path.join(out_dir, "ddm_source")
+    for d in (img_dir, ddm_t_dir, ddm_s_dir):
+        os.makedirs(d, exist_ok=True)
+
+    # --- build nets ---
+    if opt.generator == "DSGAN":
+        g_model = DSGANGenerator(n_res_blocks=opt.num_res_blocks)
+    elif opt.generator == "DeResnet":
+        g_model = DeResnet(n_res_blocks=opt.num_res_blocks, scale=opt.upscale_factor)
+    else:
+        raise SystemExit(f"Generator model [{opt.generator}] not recognized")
+    d_model = FSDiscriminator(
+        d_arch=opt.discriminator,
+        filter_type=opt.filter if opt.highpass else None,
+        kernel_size=opt.kernel_size,
+        cs=opt.cat_or_sum,
+        norm_layer=opt.norm_layer,
+        wgan=opt.wgan,
+        use_running_average=True,
+    )
+    convnet = CONVNETS[opt.discriminator]
+
+    # --- load checkpoint (orbax dir or reference .tar) ---
+    if opt.checkpoint is None:
+        raise SystemExit("Use --checkpoint to define the model parameters used")
+    if os.path.isdir(opt.checkpoint):
+        restored, step = restore_checkpoint(opt.checkpoint)
+        params_g = restored["g"]["params"]
+        vars_d = restored["d_target"]["params"]
+        print(f"Using orbax checkpoint at step {step}")
+    else:
+        ckpt = load_dsn_tar(opt.checkpoint)
+        sd_g = ckpt.get("model_g_state_dict", ckpt)
+        sd_d = ckpt.get("models_d_state_dict", ckpt)
+        if opt.generator == "DSGAN":
+            params_g = import_dsgan_generator_params(sd_g, opt.num_res_blocks)
+        else:
+            params_g = import_deresnet_params(
+                sd_g, opt.num_res_blocks, opt.upscale_factor
+            )
+        vars_d = import_fsd_discriminator_params(sd_d, norm_layer=opt.norm_layer)
+        if "epoch" in ckpt:
+            print(f"Using model at epoch {ckpt['epoch']}")
+        shutil.copyfile(opt.checkpoint, os.path.join(out_dir, opt.name + ".tar"))
+
+    g_apply = jax.jit(g_model.apply)
+    d_apply = jax.jit(d_model.apply)
+    scale = opt.upscale_factor
+
+    def run_g(img):
+        x = jnp.asarray(img)[None]
+        if x.shape[1] * x.shape[2] > 1024 * 1024:  # tile very large HRs
+            return np.asarray(
+                tiled_apply(
+                    x, lambda t: g_apply(params_g, t),
+                    scale=1.0 / scale, tile=512, halo=16 * scale,
+                )[0]
+            )
+        return np.asarray(g_apply(params_g, x)[0])
+
+    def ddm_for(img_lr):
+        scores = d_apply(vars_d, jnp.asarray(img_lr)[None])[0, :, :, 0]
+        h, w = ddm_shape_for(opt.filter if opt.highpass else "gau",
+                             img_lr.shape[0], img_lr.shape[1])
+        ddm = ddm_splat(scores, h, w, convnet)
+        return np.asarray(ddm)[None, None]  # (1,1,h,w) like the reference
+
+    for i, path in enumerate(target_files):
+        hr = read_img(path)
+        fake = run_g(hr)
+        base = os.path.basename(path)
+        save_img(fake, os.path.join(img_dir, base))
+        np.save(os.path.join(ddm_t_dir, base.split(".")[0]), ddm_for(fake))
+        if (i + 1) % 50 == 0 or i == len(target_files) - 1:
+            print(f"[target {i + 1}/{len(target_files)}]")
+
+    if opt.including_source_ddm:
+        for i, path in enumerate(source_files):
+            lr = read_img(path)
+            np.save(os.path.join(ddm_s_dir, os.path.basename(path).split(".")[0]),
+                    ddm_for(lr))
+            if (i + 1) % 50 == 0 or i == len(source_files) - 1:
+                print(f"[source {i + 1}/{len(source_files)}]")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""DSN training CLI — reference-compatible flags
+(``python -m dasr_tpu.cli.dsn_train --dataset aim2019 --artifacts tdsr ...``,
+mirroring codes/DSN/train.py:24-73).
+
+Differences from the reference loop (same behavior, TPU-shaped):
+  * the fused jitted G+D step (dasr_tpu.train.dsn_trainer) replaces the
+    imperative backward/step pair;
+  * data-parallel over all local devices via the ('data','spatial') mesh;
+  * orbax checkpoints (full train state) instead of torch ``.tar``;
+    ``--checkpoint`` resumes from them, or imports a reference ``.tar``;
+  * metrics stream to a JSONL metric log + stdout instead of tensorboardX
+    (dasr_tpu.utils.metrics_writer).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="Train Downscaling Models")
+    p.add_argument("--upscale_factor", default=4, type=int, choices=[1, 2, 4])
+    p.add_argument("--crop_size", default=256, type=int)
+    p.add_argument("--crop_size_val", default=256, type=int)
+    p.add_argument("--batch_size", default=4, type=int)
+    p.add_argument("--num_workers", default=6, type=int)
+    p.add_argument("--num_epochs", default=400, type=int)
+    p.add_argument("--num_decay_epochs", default=150, type=int)
+    p.add_argument("--learning_rate", default=1e-4, type=float)
+    p.add_argument("--adam_beta_1", default=0.5, type=float)
+    p.add_argument("--val_interval", default=5, type=int)
+    p.add_argument("--val_img_interval", default=5, type=int)
+    p.add_argument("--save_model_interval", default=5, type=int)
+    p.add_argument("--artifacts", default="tdsr", type=str)
+    p.add_argument("--dataset", default="df2k", type=str)
+    p.add_argument("--flips", action="store_true")
+    p.add_argument("--rotations", action="store_true")
+    p.add_argument("--num_res_blocks", default=8, type=int)
+    p.add_argument("--ragan", action="store_true")
+    p.add_argument("--wgan", action="store_true")
+    p.add_argument("--no_highpass", dest="highpass", action="store_false")
+    p.add_argument("--kernel_size", default=5, type=int)
+    p.add_argument("--no_per_loss", dest="use_per_loss", action="store_false")
+    p.add_argument("--lpips_rot_flip", action="store_true")
+    p.add_argument("--per_type", default="LPIPS", type=str)
+    p.add_argument("--disc_freq", default=1, type=int)
+    p.add_argument("--gen_freq", default=1, type=int)
+    p.add_argument("--w_col", default=1, type=float)
+    p.add_argument("--w_tex", default=0.005, type=float)
+    p.add_argument("--w_per", default=0.01, type=float)
+    p.add_argument("--checkpoint", default=None, type=str)
+    p.add_argument("--save_path", default=None, type=str)
+    p.add_argument("--generator", default="DeResnet", type=str)
+    p.add_argument("--discriminator", default="FSD", type=str)
+    p.add_argument("--filter", default="gau", type=str)
+    p.add_argument("--cat_or_sum", default="cat", type=str)
+    p.add_argument("--norm_layer", default="Instance", type=str)
+    p.add_argument("--no_saving", dest="saving", action="store_false")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--paths_yml", default=None, type=str)
+    p.add_argument("--experiments_root", default="../../DSN_experiments", type=str)
+    p.add_argument("--source_dir", default=None, type=str)
+    p.add_argument("--target_dir", default=None, type=str)
+    p.add_argument("--valid_hr_dir", default=None, type=str)
+    p.add_argument("--valid_lr_dir", default=None, type=str)
+    return p
+
+
+def main(argv=None):
+    opt = build_argparser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from dasr_tpu.core import mesh as meshlib
+    from dasr_tpu.core.config import dataset_paths
+    from dasr_tpu.data.datasets import DSNTrainDataset, DSNValDataset
+    from dasr_tpu.data.pipeline import Loader
+    from dasr_tpu.ops.metrics import psnr_device
+    from dasr_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+    from dasr_tpu.train.dsn_trainer import DSNConfig, DSNTrainer
+    from dasr_tpu.train.schedules import dsn_linear_decay
+    from dasr_tpu.utils.metrics_writer import MetricsWriter
+
+    if opt.source_dir and opt.target_dir:
+        source_dir, target_dir = opt.source_dir, opt.target_dir
+        valid_hr, valid_lr = opt.valid_hr_dir, opt.valid_lr_dir
+    else:
+        paths_yml = opt.paths_yml or os.path.join(
+            os.path.dirname(__file__), "..", "..", "paths.yml"
+        )
+        reg = dataset_paths(paths_yml, opt.dataset, opt.artifacts)
+        source_dir, target_dir = reg["source"], reg["target"]
+        valid_hr, valid_lr = reg.get("valid_hr"), reg.get("valid_lr")
+
+    train_set = DSNTrainDataset(
+        source_dir, target_dir, crop_size=opt.crop_size,
+        upscale_factor=opt.upscale_factor, flips=opt.flips, rotations=opt.rotations,
+    )
+    loader = Loader(
+        train_set, batch_size=opt.batch_size, shuffle=True,
+        num_workers=opt.num_workers, drop_last=True,
+    )
+    steps_per_epoch = max(1, len(loader))
+
+    mesh = meshlib.make_mesh_for_batch(opt.batch_size)
+    schedule = dsn_linear_decay(
+        opt.learning_rate, opt.num_epochs, opt.num_decay_epochs, steps_per_epoch
+    )
+    cfg = DSNConfig(
+        generator=opt.generator, discriminator=opt.discriminator,
+        filter=opt.filter, cat_or_sum=opt.cat_or_sum, norm_layer=opt.norm_layer,
+        kernel_size=opt.kernel_size, num_res_blocks=opt.num_res_blocks,
+        upscale_factor=opt.upscale_factor, highpass=opt.highpass, wgan=opt.wgan,
+        ragan=opt.ragan, w_col=opt.w_col, w_tex=opt.w_tex, w_per=opt.w_per,
+        use_per_loss=opt.use_per_loss, per_type=opt.per_type,
+        learning_rate=opt.learning_rate, adam_beta_1=opt.adam_beta_1,
+        disc_freq=opt.disc_freq, gen_freq=opt.gen_freq,
+    )
+    trainer = DSNTrainer(cfg, mesh=mesh, schedule=schedule)
+    lr_size = (opt.crop_size - opt.crop_size % opt.upscale_factor) // opt.upscale_factor
+    state = trainer.init_state(jax.random.key(0), lr_size=lr_size, hr_size=opt.crop_size)
+
+    save_path = os.path.join(opt.experiments_root, opt.save_path or "dsn_run")
+    ckpt_dir = os.path.join(save_path, "checkpoints")
+    start_epoch = 1
+    if opt.checkpoint:
+        state, step = restore_checkpoint(opt.checkpoint, state)
+        start_epoch = step // steps_per_epoch + 1
+        print(f"Continuing training at epoch {start_epoch}")
+
+    writer = MetricsWriter(os.path.join(save_path, "metrics.jsonl")) if opt.saving else None
+    if opt.saving:
+        os.makedirs(save_path, exist_ok=True)
+        with open(os.path.join(save_path, "commandline_args.txt"), "w") as f:
+            json.dump(vars(opt), f, indent=2)
+
+    val_set = None
+    if valid_hr:
+        val_set = DSNValDataset(valid_hr, valid_lr, crop_size=opt.crop_size_val,
+                                upscale_factor=opt.upscale_factor)
+
+    iteration = 0
+    for epoch in range(start_epoch, opt.num_epochs + 1):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            iteration += 1
+            dev = meshlib.shard_batch(mesh, batch)
+            do_d = iteration % opt.disc_freq == 0
+            do_g = iteration % opt.gen_freq == 0
+            state, metrics = trainer.train_step(state, dev, do_g=do_g, do_d=do_d)
+            if writer and iteration % 50 == 0:
+                writer.write(iteration, {k: float(v) for k, v in metrics.items()})
+            if opt.debug:
+                break
+        if opt.debug:
+            opt.val_interval = 1
+            opt.save_model_interval = 1
+
+        if val_set is not None and epoch % opt.val_interval == 0:
+            psnrs = []
+            for i in range(min(len(val_set), 16)):
+                item = val_set[i]
+                fake = trainer.generate(state.g.params, item["input"][None])
+                psnrs.append(float(psnr_device(fake[0], item["bicubic"])))
+            if writer:
+                writer.write(iteration, {"val/psnr_vs_bicubic": float(np.mean(psnrs))})
+            print(f"[epoch {epoch}] val PSNR vs bicubic: {np.mean(psnrs):.3f} dB")
+
+        if opt.saving and epoch % opt.save_model_interval == 0:
+            save_checkpoint(ckpt_dir, state, iteration)
+            print(f"[epoch {epoch}] checkpoint @ iter {iteration}")
+
+        if opt.debug and epoch >= start_epoch + 1:
+            break
+
+
+if __name__ == "__main__":
+    main()

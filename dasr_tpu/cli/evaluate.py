@@ -1,0 +1,69 @@
+"""Directory-vs-directory evaluation CLI (reference: codes/DSN/evaluate.py).
+
+``python -m dasr_tpu.cli.evaluate --dir_a <results> --dir_b <ground truth>``
+reports mean PSNR / SSIM / LPIPS over sorted file pairs — the reference's
+DSN standalone eval (evaluate.py:22-62), also usable for SRN outputs
+(BASELINE config #3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate two image directories")
+    p.add_argument("--dir_a", "--dir_gen", dest="dir_a", required=True)
+    p.add_argument("--dir_b", "--dir_gt", dest="dir_b", required=True)
+    p.add_argument("--no_lpips", action="store_true")
+    p.add_argument("--limit", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from dasr_tpu.data.io import list_images, read_img
+    from dasr_tpu.eval.evaluate import average, to_uint8
+    from dasr_tpu.ops.metrics import calculate_psnr, calculate_ssim
+
+    files_a = list_images(args.dir_a)
+    files_b = list_images(args.dir_b)
+    n = min(len(files_a), len(files_b))
+    if args.limit:
+        n = min(n, args.limit)
+
+    lpips_fn = None
+    if not args.no_lpips:
+        from dasr_tpu.cli.srn_test import _make_lpips
+
+        lpips_fn = _make_lpips()
+
+    results = []
+    for i in range(n):
+        a = to_uint8(read_img(files_a[i]))
+        b = to_uint8(read_img(files_b[i]))
+        h = min(a.shape[0], b.shape[0])
+        w = min(a.shape[1], b.shape[1])
+        a, b = a[:h, :w], b[:h, :w]
+        m = {
+            "psnr": calculate_psnr(a.astype(float), b.astype(float)),
+            "ssim": calculate_ssim(a.astype(float), b.astype(float)),
+        }
+        if lpips_fn is not None:
+            from dasr_tpu.eval.evaluate import im2tensor_range
+
+            m["lpips"] = float(
+                lpips_fn(im2tensor_range(a)[None], im2tensor_range(b)[None])
+            )
+        results.append(m)
+        print(f"{os.path.basename(files_a[i])}: " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
+
+    avg = average(results)
+    print("== mean ==")
+    for k, v in avg.items():
+        print(f"{k}: {v:.6f}")
+    return avg
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""SRN inference/eval CLI — reference-compatible ``python -m
+dasr_tpu.cli.srn_test -opt options/test/test_sr.json``.
+
+Mirrors codes/SRN/test.py: loads the commented-JSON options, builds the
+model, runs every test dataset, saves SR PNGs under results/<name>/<set>/,
+and reports per-image + average PSNR/SSIM (+Y) with scale-px border crop
+and optional LPIPS.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, required=True, help="Path to options JSON file.")
+    args = parser.parse_args(argv)
+
+    from dasr_tpu.core.config import dict2str, parse_srn_options
+    from dasr_tpu.data.datasets import create_dataset
+    from dasr_tpu.data.io import save_img
+    from dasr_tpu.eval.evaluate import average, sr_metrics, to_uint8
+    from dasr_tpu.models.registry import create_model
+
+    opt = parse_srn_options(args.opt, is_train=False)
+    logging.basicConfig(level=logging.INFO, format="%(message)s", stream=sys.stdout)
+    logger = logging.getLogger("base")
+    logger.info(dict2str(opt))
+
+    model = create_model(opt)
+    model.init()
+    model.load()
+
+    lpips_fn = None
+    if opt.get("val_lpips"):
+        lpips_fn = _make_lpips()
+
+    for phase, dataset_opt in sorted((opt.get("datasets") or {}).items()):
+        test_set = create_dataset(dataset_opt)
+        name = dataset_opt["name"]
+        logger.info(f"\nTesting [{name}]...")
+        results_root = opt["path"]["results_root"]
+        dataset_dir = os.path.join(results_root, name)
+        os.makedirs(dataset_dir, exist_ok=True)
+
+        per_image = []
+        for i in range(len(test_set)):
+            data = test_set[i]
+            sr = model.test(data["LR"])
+            base = os.path.splitext(os.path.basename(data["LR_path"]))[0]
+            save_img(sr, os.path.join(dataset_dir, base + ".png"))
+
+            if "HR" in data:
+                m = sr_metrics(
+                    to_uint8(sr), to_uint8(data["HR"]), opt.get("scale", 4), lpips_fn
+                )
+                per_image.append(m)
+                msg = (
+                    f"{i + 1:3d} - {base:25s} PSNR: {m['psnr']:.6f} dB; "
+                    f"SSIM: {m['ssim']:.6f}"
+                )
+                if "psnr_y" in m:
+                    msg += f"; PSNR_Y: {m['psnr_y']:.6f} dB; SSIM_Y: {m['ssim_y']:.6f}"
+                if "lpips" in m:
+                    msg += f"; LPIPS: {m['lpips']:.6f}"
+                logger.info(msg)
+            else:
+                logger.info(f"{i + 1:3d} - {base}")
+
+        if per_image:
+            avg = average(per_image)
+            logger.info(
+                f"----Average PSNR/SSIM results for {name}----\n"
+                f"\tPSNR: {avg['psnr']:.6f} dB; SSIM: {avg['ssim']:.6f}"
+                + (f"; LPIPS: {avg['lpips']:.6f}" if "lpips" in avg else "")
+            )
+            if "psnr_y" in avg:
+                logger.info(
+                    f"\tPSNR_Y: {avg['psnr_y']:.6f} dB; SSIM_Y: {avg['ssim_y']:.6f}"
+                )
+
+
+def _make_lpips():
+    import jax
+
+    from dasr_tpu.models.registry import _default_lpips_variables
+    from dasr_tpu.losses.lpips import LPIPS
+
+    lpips = LPIPS(net="alex")
+    variables = _default_lpips_variables()
+    fn = jax.jit(lambda a, b: lpips.apply(variables, a, b))
+
+    def compute(a, b):
+        return float(np.asarray(fn(a, b))[0, 0, 0, 0])
+
+    return compute
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""SRN training CLI — reference-compatible
+``python -m dasr_tpu.cli.srn_train -opt options/train/train_DASR.json``
+(mirroring codes/SRN/train.py:20-249).
+
+Iteration-based loop: resume, data loaders, ``create_model``, per-step
+``train_step`` (LR schedule lives inside the optax chain), periodic
+validation (PSNR + LPIPS on uint8 roundtrip, scale-px border crop,
+codes/SRN/train.py:174-235) and checkpointing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, required=True)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from dasr_tpu.core import mesh as meshlib
+    from dasr_tpu.core.config import check_resume, dict2str, parse_srn_options
+    from dasr_tpu.data.datasets import create_dataset
+    from dasr_tpu.data.io import save_img
+    from dasr_tpu.data.pipeline import Loader
+    from dasr_tpu.eval.evaluate import sr_metrics, to_uint8
+    from dasr_tpu.models.registry import create_model
+    from dasr_tpu.utils.metrics_writer import MetricsWriter
+
+    opt = parse_srn_options(args.opt, is_train=True)
+    opt = check_resume(opt)
+    logging.basicConfig(level=logging.INFO, format="%(message)s", stream=sys.stdout)
+    logger = logging.getLogger("base")
+    logger.info(dict2str(opt))
+
+    for d in ("experiments_root", "models", "training_state", "val_images", "log"):
+        p = opt["path"].get(d)
+        if p:
+            os.makedirs(p, exist_ok=True)
+
+    train_opt = opt["train"] or {}
+    logger_opt = opt["logger"] or {}
+    niter = int(train_opt.get("niter", 350000))
+    val_freq = int(train_opt.get("val_freq", 2500) or 2500)
+    print_freq = int(logger_opt.get("print_freq", 200) or 200)
+    save_freq = int(logger_opt.get("save_checkpoint_freq", 2500) or 2500)
+
+    # datasets
+    train_loader = None
+    val_set = None
+    for phase, dataset_opt in (opt.get("datasets") or {}).items():
+        if phase == "train":
+            train_set = create_dataset(dataset_opt)
+            train_loader = Loader(
+                train_set,
+                batch_size=int(dataset_opt.get("batch_size", 6) or 6),
+                shuffle=bool(dataset_opt.get("use_shuffle", True)),
+                num_workers=int(dataset_opt.get("n_workers", 6) or 6),
+                drop_last=True,
+                seed=int(train_opt.get("manual_seed", 0) or 0),
+            )
+            logger.info(
+                f"Number of train images: {len(train_set)}, iters per epoch: "
+                f"{len(train_loader)}"
+            )
+        elif phase == "val":
+            val_set = create_dataset(dataset_opt)
+            logger.info(f"Number of val images: {len(val_set)}")
+
+    assert train_loader is not None, "Train dataset is required."
+
+    mesh = meshlib.make_mesh_for_batch(
+        int(opt["datasets"]["train"].get("batch_size", 6) or 6)
+    )
+    model = create_model(opt, mesh=mesh)
+    lr_size = int(
+        (opt["datasets"]["train"].get("HR_size", 128) or 128) // opt.get("scale", 4)
+    )
+    model.init(lr_size=lr_size)
+    model.load()
+
+    start_iter = 0
+    if opt["path"].get("resume_state"):
+        start_iter = model.resume(opt["path"]["resume_state"])
+        logger.info(f"Resuming training from iteration: {start_iter}.")
+
+    writer = MetricsWriter(os.path.join(opt["path"]["log"], "metrics.jsonl"))
+    total_epochs = int(math.ceil(niter / max(1, len(train_loader))))
+    logger.info(f"Total epochs needed: {total_epochs} for iters {niter}")
+
+    current_step = start_iter
+    lpips_fn = _maybe_lpips(opt)
+    bs = int(opt["datasets"]["train"].get("batch_size", 6) or 6)
+
+    for epoch in range(total_epochs):
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            if current_step >= niter:
+                break
+            current_step += 1
+            metrics = model.train_step(batch)
+
+            if current_step % print_freq == 0:
+                msg = f"<epoch:{epoch:3d}, iter:{current_step:8,d}> " + ", ".join(
+                    f"{k.split('/')[-1]}: {v:.4e}" for k, v in metrics.items()
+                )
+                logger.info(msg)
+                writer.write(current_step, metrics, imgs=bs * 2 * print_freq)
+
+            if val_set is not None and current_step % val_freq == 0:
+                _validate(
+                    model, val_set, opt, current_step, logger, writer, lpips_fn
+                )
+
+            if current_step % save_freq == 0:
+                logger.info("Saving models and training states.")
+                model.save(opt["path"]["training_state"], current_step)
+        if current_step >= niter:
+            break
+
+    logger.info("Saving the final model.")
+    model.save(opt["path"]["training_state"], current_step)
+    logger.info("End of training.")
+
+
+def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
+    import numpy as np
+
+    from dasr_tpu.data.io import save_img
+    from dasr_tpu.eval.evaluate import average, sr_metrics, to_uint8
+
+    results = []
+    n = min(len(val_set), int(opt.get("max_val_images", 8) or 8))
+    for i in range(n):
+        data = val_set[i]
+        sr = model.test(data["LR"])
+        m = sr_metrics(to_uint8(sr), to_uint8(data["HR"]), opt.get("scale", 4), lpips_fn)
+        results.append(m)
+        img_dir = os.path.join(opt["path"]["val_images"], str(step))
+        base = os.path.splitext(os.path.basename(data["HR_path"]))[0]
+        save_img(sr, os.path.join(img_dir, f"{base}_{step}.png"))
+    avg = average(results)
+    msg = f"# Validation # PSNR: {avg['psnr']:.4e}"
+    if "lpips" in avg:
+        msg += f", LPIPS: {avg['lpips']:.4e}"
+    logger.info(msg)
+    writer.write(step, {f"val/{k}": v for k, v in avg.items()})
+
+
+def _maybe_lpips(opt):
+    if not opt.get("val_lpips"):
+        return None
+    from dasr_tpu.cli.srn_test import _make_lpips
+
+    return _make_lpips()
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,15 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
 
 
+def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Largest data-parallel mesh whose size divides the global batch."""
+    import math
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = math.gcd(batch_size, len(devices))
+    return make_mesh(n_data=n, devices=devices[:n])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis; replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -1,0 +1,265 @@
+"""Dataset modes.
+
+Covers the reference's dataset registry (reference: codes/SRN/data/
+__init__.py:6-45 + codes/DSN/data_loader.py) as plain indexable classes
+returning dicts of HWC float32 numpy arrays (RGB, [0,1]):
+
+  * ``PairedDataset``      — 'LRHR': paired LR/HR or on-the-fly MATLAB
+                             bicubic LR; modcrop at val; random aligned
+                             crops + flip/rot at train
+                             (codes/SRN/data/LRHR_dataset.py:10-128)
+  * ``LRDataset``          — 'LR' (codes/SRN/data/LR_dataset.py:7-39)
+  * ``DASRUnpairedDataset``— 'LRHR_wavelet_unpair_fake_weights_EQ': fake LR
+                             + aligned DDM + paired HR + random real LR +
+                             random unpaired HR, joint augment
+                             (codes/SRN/data/LRHR_wavelet_unpairEq_fake_w_dataset.py)
+  * ``UnpairDataset``      — 'LRHR_unpair' (same minus weights, for the
+                             Adaptive model) (codes/SRN/data/LRHR_unpair_dataset.py)
+  * ``DSNTrainDataset``    — Train_Deresnet_Dataset: clean-HR crop, its
+                             MATLAB-bicubic LR, and an unrelated noisy-LR
+                             crop (codes/DSN/data_loader.py:12-59)
+  * ``DSNValDataset``      — Val_Deresnet_Dataset (codes/DSN/data_loader.py:157-190)
+
+Randomness is an explicit per-item ``np.random.Generator`` derived from
+(seed, epoch, index) in the Loader, so runs are reproducible and
+restartable — the reference relies on global ``random`` state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import cv2
+import numpy as np
+
+from dasr_tpu.data.io import list_images, load_ddm, read_img, resize_linear
+from dasr_tpu.ops.metrics import modcrop
+from dasr_tpu.ops.resize import imresize_np
+
+
+def _augment(imgs, rng, hflip=True, rot=True):
+    """Joint flip/rot augment (reference: codes/SRN/data/util.py:116-128)."""
+    do_h = hflip and rng.random() < 0.5
+    do_v = rot and rng.random() < 0.5
+    do_r = rot and rng.random() < 0.5
+
+    def one(img):
+        if do_h:
+            img = img[:, ::-1, :]
+        if do_v:
+            img = img[::-1, :, :]
+        if do_r:
+            img = img.transpose(1, 0, 2)
+        return np.ascontiguousarray(img)
+
+    return [one(i) for i in imgs]
+
+
+def _rand_crop(img, size, rng):
+    h, w = img.shape[:2]
+    top = rng.integers(0, max(0, h - size) + 1)
+    left = rng.integers(0, max(0, w - size) + 1)
+    return img[top : top + size, left : left + size, :], (int(top), int(left))
+
+
+class PairedDataset:
+    """'LRHR' mode."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.phase = opt.get("phase", "train")
+        self.scale = opt.get("scale", 4)
+        self.hr_size = opt.get("HR_size")
+        self.paths_hr = list_images(opt["dataroot_HR"])
+        self.paths_lr = (
+            list_images(opt["dataroot_LR"]) if opt.get("dataroot_LR") else None
+        )
+
+    def __len__(self):
+        return len(self.paths_hr)
+
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng(index)
+        hr = read_img(self.paths_hr[index])
+        if self.phase != "train":
+            hr = modcrop(hr, self.scale)
+        if self.paths_lr is not None:
+            lr = read_img(self.paths_lr[index])
+        else:
+            lr = imresize_np(hr, 1.0 / self.scale)
+        if self.phase == "train":
+            lr_size = self.hr_size // self.scale
+            lr, (t, l) = _rand_crop(lr, lr_size, rng)
+            hr = hr[
+                t * self.scale : t * self.scale + self.hr_size,
+                l * self.scale : l * self.scale + self.hr_size,
+                :,
+            ]
+            lr, hr = _augment(
+                [lr, hr], rng, self.opt.get("use_flip", True), self.opt.get("use_rot", True)
+            )
+        return {
+            "LR": lr,
+            "HR": hr,
+            "LR_path": self.paths_lr[index] if self.paths_lr else self.paths_hr[index],
+            "HR_path": self.paths_hr[index],
+        }
+
+
+class LRDataset:
+    """'LR' mode (inference only)."""
+
+    def __init__(self, opt: Dict):
+        self.paths_lr = list_images(opt["dataroot_LR"])
+
+    def __len__(self):
+        return len(self.paths_lr)
+
+    def __getitem__(self, index: int, rng=None):
+        return {"LR": read_img(self.paths_lr[index]), "LR_path": self.paths_lr[index]}
+
+
+class DASRUnpairedDataset:
+    """'LRHR_wavelet_unpair_fake_weights_EQ' — the DASR training mode."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.phase = opt.get("phase", "train")
+        self.scale = opt.get("scale", 4)
+        self.hr_size = opt.get("HR_size", 128)
+        self.paths_hr = list_images(opt["dataroot_HR"])
+        self.paths_fake_lr = list_images(opt["dataroot_fake_LR"])
+        self.paths_real_lr = list_images(opt["dataroot_real_LR"])
+        self.paths_fake_w = list_images(opt["dataroot_fake_weights"])
+
+    def __len__(self):
+        return len(self.paths_fake_lr)
+
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng(index)
+        lr_fake = read_img(self.paths_fake_lr[index])
+        lr_real = read_img(self.paths_real_lr[int(rng.integers(len(self.paths_real_lr)))])
+        fake_w = load_ddm(self.paths_fake_w[index])
+        # DDM -> fake-LR size (reference: fake_w_dataset.py:66, cv2 bilinear)
+        fake_w = resize_linear(fake_w, lr_fake.shape[1], lr_fake.shape[0])
+        hr = read_img(self.paths_hr[index])
+        hr_unpair = read_img(self.paths_hr[int(rng.integers(len(self.paths_hr)))])
+
+        if self.phase == "train":
+            lr_size = self.hr_size // self.scale
+            lr_fake_c, (t, l) = _rand_crop(lr_fake, lr_size, rng)
+            fake_w = fake_w[t : t + lr_size, l : l + lr_size, :]
+            lr_real, _ = _rand_crop(lr_real, lr_size, rng)
+            hr = hr[
+                t * self.scale : t * self.scale + self.hr_size,
+                l * self.scale : l * self.scale + self.hr_size,
+                :,
+            ]
+            hr_unpair, _ = _rand_crop(hr_unpair, self.hr_size, rng)
+            lr_fake, lr_real, hr, hr_unpair, fake_w = _augment(
+                [lr_fake_c, lr_real, hr, hr_unpair, fake_w],
+                rng,
+                self.opt.get("use_flip", True),
+                self.opt.get("use_rot", True),
+            )
+        return {
+            "LR_fake": lr_fake,
+            "LR_real": lr_real,
+            "HR": hr,
+            "HR_unpair": hr_unpair,
+            "fake_w": fake_w,
+            "LR_fake_path": self.paths_fake_lr[index],
+            "HR_path": self.paths_hr[index],
+        }
+
+
+class UnpairDataset(DASRUnpairedDataset):
+    """'LRHR_unpair' — Adaptive model variant, no precomputed weights."""
+
+    def __init__(self, opt: Dict):
+        opt = dict(opt)
+        opt.setdefault("dataroot_fake_weights", opt["dataroot_fake_LR"])
+        super().__init__(opt)
+
+    def __getitem__(self, index: int, rng=None):
+        item = super().__getitem__(index, rng)
+        item.pop("fake_w", None)
+        return item
+
+
+class DSNTrainDataset:
+    """DSN unpaired trainer feed (codes/DSN/data_loader.py:12-59).
+
+    Returns (clean HR crop, MATLAB-bicubic LR of that crop, random noisy
+    LR crop). Each noisy image is paired with a *random* clean image.
+    """
+
+    def __init__(self, source_dir: str, target_dir: str, crop_size: int = 256,
+                 upscale_factor: int = 4, flips: bool = False, rotations: bool = False):
+        self.noisy = list_images(source_dir)
+        self.clean = list_images(target_dir)
+        self.crop = crop_size - crop_size % upscale_factor
+        self.scale = upscale_factor
+        self.flips = flips
+        self.rotations = rotations
+
+    def __len__(self):
+        return len(self.noisy)
+
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng(index)
+        clean = read_img(self.clean[int(rng.integers(len(self.clean)))])
+        noisy = read_img(self.noisy[index])
+        clean, _ = _rand_crop(clean, self.crop, rng)
+        noisy, _ = _rand_crop(noisy, self.crop // self.scale, rng)
+        if self.flips or self.rotations:
+            clean = _augment([clean], rng, self.flips, self.rotations)[0]
+            noisy = _augment([noisy], rng, self.flips, self.rotations)[0]
+        bicubic = imresize_np(clean, 1.0 / self.scale)
+        return {"input": clean, "bicubic": bicubic, "disc": noisy}
+
+
+class DSNValDataset:
+    """DSN validation feed (codes/DSN/data_loader.py:157-190)."""
+
+    def __init__(self, hr_dir: str, lr_dir: Optional[str] = None,
+                 crop_size: int = 256, upscale_factor: int = 4):
+        self.hr = list_images(hr_dir)
+        self.lr = list_images(lr_dir) if lr_dir else None
+        self.crop = crop_size - crop_size % upscale_factor
+        self.scale = upscale_factor
+
+    def __len__(self):
+        return len(self.hr)
+
+    def __getitem__(self, index: int, rng=None):
+        hr = read_img(self.hr[index])
+        # deterministic center-ish crop for stable validation
+        h, w = hr.shape[:2]
+        t = max(0, (h - self.crop) // 2)
+        l = max(0, (w - self.crop) // 2)
+        hr = hr[t : t + self.crop, l : l + self.crop, :]
+        out = {"input": hr, "bicubic": imresize_np(hr, 1.0 / self.scale)}
+        if self.lr:
+            out["lr"] = read_img(self.lr[index % len(self.lr)])
+        return out
+
+
+_REGISTRY = {
+    "LRHR": PairedDataset,
+    "LR": LRDataset,
+    "LRHR_wavelet_unpair_fake_weights_EQ": DASRUnpairedDataset,
+    "LRHR_wavelet_unpair_fake_real_w_EQ": DASRUnpairedDataset,
+    "LRHR_unpair": UnpairDataset,
+    "LRHR_wavelet_unpair": DASRUnpairedDataset,
+    "LRHR_Trans_Wavelet_GAN": DASRUnpairedDataset,
+}
+
+
+def create_dataset(opt: Dict):
+    """Dataset registry (reference: codes/SRN/data/__init__.py:6-27)."""
+    mode = opt["mode"]
+    if mode not in _REGISTRY:
+        raise NotImplementedError(f"Dataset [{mode}] is not recognized.")
+    return _REGISTRY[mode](opt)

@@ -1,0 +1,91 @@
+"""Image/array IO for the host data pipeline.
+
+Replaces the reference's cv2/PIL/lmdb plumbing (reference: codes/SRN/data/
+util.py:14-107, codes/DSN/data_loader.py). Images are RGB float32 HWC in
+[0, 1] throughout the framework (the reference keeps BGR until tensor
+conversion; we convert at the boundary instead).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+IMG_EXTENSIONS = (
+    ".jpg", ".JPG", ".jpeg", ".JPEG", ".png", ".PNG", ".ppm", ".PPM",
+    ".bmp", ".BMP", ".npy",
+)
+
+
+def is_image_file(filename: str) -> bool:
+    return filename.endswith(IMG_EXTENSIONS)
+
+
+def list_images(root: str) -> List[str]:
+    """Sorted recursive listing (reference: data/util.py:24-37 semantics)."""
+    assert os.path.isdir(root), f"{root} is not a valid directory"
+    out: List[str] = []
+    for dirpath, _, fnames in sorted(os.walk(root)):
+        for fname in sorted(fnames):
+            if is_image_file(fname):
+                out.append(os.path.join(dirpath, fname))
+    assert out, f"{root} has no valid image file"
+    return out
+
+
+def read_img(path: str) -> np.ndarray:
+    """Read an image (or .npy) to RGB float32 HWC in [0, 1]."""
+    if path.endswith(".npy"):
+        img = np.load(path)
+    else:
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise FileNotFoundError(path)
+        if img.ndim == 3:
+            img = img[:, :, ::-1]  # BGR -> RGB
+    img = img.astype(np.float32)
+    if img.max() > 1.5:  # uint8/uint16 ranges
+        img = img / 255.0
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] > 3:
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img)
+
+
+def save_img(img: np.ndarray, path: str) -> None:
+    """Save RGB float [0,1] (or uint8) HWC image as PNG/JPG."""
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0, 1) * 255.0).round().astype(np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        arr = arr[:, :, ::-1]  # RGB -> BGR for cv2
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    cv2.imwrite(path, arr)
+
+
+def load_ddm(path: str) -> np.ndarray:
+    """Load a domain-distance map ``.npy`` to HW1 float32.
+
+    DSN saves DDMs as (1, 1, h, w) (reference:
+    create_dataset_modified.py:14-24,164); the SRN loader takes [0] and
+    transposes (LRHR_wavelet_unpairEq_fake_w_dataset.py:64).
+    """
+    arr = np.load(path)
+    arr = np.asarray(arr, dtype=np.float32)
+    while arr.ndim > 2 and arr.shape[0] == 1:
+        arr = arr[0]
+    if arr.ndim == 3:  # (1, h, w) -> (h, w)
+        arr = arr[0] if arr.shape[0] == 1 else arr[:, :, 0]
+    return arr[:, :, None]
+
+
+def resize_linear(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """cv2 bilinear resize (used for DDM -> LR-size alignment, reference:
+    ...fake_w_dataset.py:66)."""
+    out = cv2.resize(img[:, :, 0] if img.ndim == 3 else img, (w, h),
+                     interpolation=cv2.INTER_LINEAR)
+    return out[:, :, None]

@@ -1,0 +1,273 @@
+"""Model registry — trainer/inference facades keyed like the reference.
+
+``create_model(opt)`` mirrors codes/SRN/models/__init__.py:5-26 (plus the
+legacy-name normalization done in core.config): 'sr', 'srgan', 'srragan',
+'De_Resnet', 'De_patch_wavelet_GAN', 'DASR', 'DASR_Adaptive_Model'.
+
+``define_G`` mirrors the network factory (codes/SRN/models/networks.py:83-147).
+
+Each facade exposes the same surface the reference's trainers do
+(feed-style ``train_step``, ``test``, ``save``/``load``) but built on the
+functional jitted steps in dasr_tpu.train.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dasr_tpu.losses.lpips import LPIPS, load_lpips_params, reference_lin_weights_path
+from dasr_tpu.nn.generators import DSGANGenerator, DeResnet, RRDBNet, SRResNet
+from dasr_tpu.ops.tiled import forward_chop, tiled_apply
+from dasr_tpu.train import checkpoints
+from dasr_tpu.train.srn_trainer import SRNConfig, SRNTrainer
+
+
+def define_G(opt: Dict) -> Any:
+    """Build the generator module from a network_G config block."""
+    net = opt["network_G"]
+    which = net["which_model_G"]
+    scale = opt.get("scale", 4)
+    dtype = jnp.bfloat16 if opt.get("bf16", True) else None
+    if which in ("RRDB_net", "RRDB_mask", "De_RRDB"):
+        return RRDBNet(
+            in_nc=net.get("in_nc", 3), out_nc=net.get("out_nc", 3),
+            nf=net.get("nf", 64), nb=net.get("nb", 23), gc=net.get("gc", 32),
+            upscale=scale, norm_type=net.get("norm_type"), dtype=dtype,
+        )
+    if which == "sr_resnet":
+        return SRResNet(
+            in_nc=net.get("in_nc", 3), out_nc=net.get("out_nc", 3),
+            nf=net.get("nf", 64), nb=net.get("nb", 16), upscale=scale,
+            norm_type=net.get("norm_type"), mode=net.get("mode", "NAC"),
+            dtype=dtype,
+        )
+    if which in ("De_Resnet", "De_Resnet_bilinear", "De_Resnet2xd"):
+        return DeResnet(n_res_blocks=net.get("nb", 8), scale=scale, dtype=dtype)
+    if which == "DSGAN":
+        return DSGANGenerator(dtype=dtype)
+    raise NotImplementedError(f"Generator model [{which}] not recognized")
+
+
+class _InferenceMixin:
+    """Shared large-image inference honoring the reference's chop flag."""
+
+    def _infer(self, lr_img: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(lr_img)[None]
+        scale = self.opt.get("scale", 4)
+        if self.opt.get("chop"):
+            h, w = x.shape[1], x.shape[2]
+            if h * w >= 320000:  # chop threshold (DASR_model.py:337)
+                if self.opt.get("chop_parity"):
+                    out = forward_chop(x, scale, self._apply_g, min_size=320000)
+                else:
+                    out = tiled_apply(x, self._apply_g, scale=scale, tile=128, halo=16)
+                return np.asarray(out[0])
+        return np.asarray(self._apply_g(x)[0])
+
+
+class SRModel(_InferenceMixin):
+    """'sr' — PSNR-oriented trainer (reference: codes/SRN/models/SR_model.py).
+
+    G-only: pixel loss (l1/l2) with MultiStepLR Adam; test with optional
+    chop and LPIPS.
+    """
+
+    def __init__(self, opt: Dict):
+        import optax
+
+        from dasr_tpu.train.state import NetState
+
+        self.opt = opt
+        self.g_model = define_G(opt)
+        train = opt.get("train") or {}
+        sched = optax.piecewise_constant_schedule(
+            train.get("lr_G", 1e-4),
+            {int(m): train.get("lr_gamma", 0.5) for m in (train.get("lr_steps") or [])},
+        )
+        self.tx = optax.adam(sched, b1=train.get("beta1_G", 0.9))
+        self.criterion = train.get("pixel_criterion", "l1")
+        self.params = None
+        self.opt_state = None
+        self.step = 0
+        self._jit_apply = None
+
+    def init(self, key=None, lr_size: int = 32):
+        key = key if key is not None else jax.random.key(0)
+        self.params = self.g_model.init(key, jnp.zeros((1, lr_size, lr_size, 3)))
+        self.opt_state = self.tx.init(self.params)
+        return self
+
+    def load(self):
+        path = (self.opt.get("path") or {}).get("pretrain_model_G")
+        if path:
+            self.load_network(path)
+        return self
+
+    def load_network(self, path: str):
+        if path.endswith(".pth"):
+            nb = (self.opt.get("network_G") or {}).get("nb", 23)
+            self.params = checkpoints.import_rrdbnet_params(path, nb=nb)
+        else:
+            template = self.params
+            self.params, _ = checkpoints.restore_checkpoint(path, template)
+        if self.opt_state is None:
+            self.opt_state = self.tx.init(self.params)
+        return self
+
+    def _apply_g(self, x):
+        if self._jit_apply is None:
+            self._jit_apply = jax.jit(self.g_model.apply)
+        return self._jit_apply(self.params, x)
+
+    def test(self, lr_img: np.ndarray) -> np.ndarray:
+        return self._infer(lr_img)
+
+    def train_step(self, batch):
+        import optax
+
+        if not hasattr(self, "_jit_step"):
+
+            def step(params, opt_state, lr, hr):
+                def loss_fn(p):
+                    sr = self.g_model.apply(p, lr)
+                    d = sr.astype(jnp.float32) - hr.astype(jnp.float32)
+                    return (
+                        jnp.mean(jnp.abs(d)) if self.criterion == "l1" else jnp.mean(d * d)
+                    )
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                upd, new_opt = self.tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, upd), new_opt, loss
+
+            self._jit_step = jax.jit(step)
+        self.params, self.opt_state, loss = self._jit_step(
+            self.params, self.opt_state, jnp.asarray(batch["LR"]), jnp.asarray(batch["HR"])
+        )
+        self.step += 1
+        return {"loss/l_pix": float(loss)}
+
+    def save(self, ckpt_dir: str, iter_step: int):
+        checkpoints.save_checkpoint(
+            os.path.join(ckpt_dir, "G"), {"params": self.params}, iter_step
+        )
+
+
+class DASRModel(_InferenceMixin):
+    """'DASR' — the paper's SRN trainer, wrapping dasr_tpu.train.SRNTrainer."""
+
+    def __init__(self, opt: Dict, mesh=None):
+        self.opt = opt
+        train = opt.get("train") or {}
+        net_g = opt.get("network_G") or {}
+        net_d = opt.get("network_D") or {}
+        cfg = SRNConfig(
+            scale=opt.get("scale", 4),
+            nf=net_g.get("nf", 64), nb=net_g.get("nb", 23), gc=net_g.get("gc", 32),
+            d_in_nc=net_d.get("in_nc", 9), d_nf=net_d.get("nf", 64),
+            d_n_layers=net_d.get("n_layers", 2),
+            lr_g=train.get("lr_G", 1e-4), lr_d=train.get("lr_D", 1e-4),
+            beta1_g=train.get("beta1_G", 0.9), beta1_d=train.get("beta1_D", 0.9),
+            lr_steps=tuple(int(m) for m in (train.get("lr_steps") or (35000, 80000, 100000, 150000))),
+            lr_gamma=train.get("lr_gamma", 0.5),
+            fs=train.get("fs", "wavelet"),
+            fs_kernel_size=train.get("fs_kernel_size", 5) or 5,
+            norm=bool(train.get("norm", True)),
+            sup_LL=bool(train.get("sup_LL", True)),
+            pixel_weight=train.get("pixel_weight", 1.0),
+            pixel_LL_weight=train.get("pixel_LL_weight", 1.0),
+            pixel_criterion=train.get("pixel_criterion", "l1"),
+            feature_criterion=train.get("feature_criterion", "LPIPS"),
+            feature_weight=train.get("feature_weight", 1.0),
+            gan_type=train.get("gan_type", "vanilla"),
+            ragan=bool(train.get("ragan", False)),
+            gan_H_target=train.get("gan_H_target", 0.005),
+            gan_H_source=train.get("gan_H_source", 0.0) or 0.0,
+            multiweights=bool(opt.get("multiweights", True)),
+            g_update_inter=train.get("G_update_inter", 1) or 1,
+            d_update_inter=train.get("D_update_inter", 1) or 1,
+            dtype=jnp.bfloat16 if opt.get("bf16", True) else None,
+        )
+        lpips_vars = _default_lpips_variables()
+        self.trainer = SRNTrainer(cfg, lpips_variables=lpips_vars, mesh=mesh)
+        self.state = None
+        self._jit_apply = None
+
+    def init(self, key=None, lr_size: int = 32):
+        key = key if key is not None else jax.random.key(
+            (self.opt.get("train") or {}).get("manual_seed", 0) or 0
+        )
+        self.state = self.trainer.init_state(key, lr_size=lr_size)
+        return self
+
+    def load(self):
+        path = (self.opt.get("path") or {}).get("pretrain_model_G")
+        if path:
+            if path.endswith(".pth"):
+                params = checkpoints.import_rrdbnet_params(
+                    path, nb=(self.opt.get("network_G") or {}).get("nb", 23)
+                )
+                self.state = self.state.replace(g=self.state.g.replace(params=params))
+            else:
+                restored, _ = checkpoints.restore_checkpoint(path, self.state)
+                self.state = restored
+        return self
+
+    def _apply_g(self, x):
+        if self._jit_apply is None:
+            self._jit_apply = jax.jit(self.trainer.g_model.apply)
+        return self._jit_apply(self.state.g.params, x)
+
+    def test(self, lr_img: np.ndarray) -> np.ndarray:
+        return self._infer(lr_img)
+
+    def train_step(self, batch):
+        c = self.trainer.cfg
+        step = int(self.state.step)
+        do_g = (step % c.g_update_inter) == 0
+        do_d = (step % c.d_update_inter) == 0
+        dev_batch = {
+            k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)
+        }
+        self.state, metrics = self.trainer.train_step(
+            self.state, dev_batch, do_g=do_g, do_d=do_d
+        )
+        return {k: float(v) for k, v in metrics.items()}
+
+    def save(self, ckpt_dir: str, iter_step: int):
+        checkpoints.save_checkpoint(ckpt_dir, self.state, iter_step)
+
+    def resume(self, ckpt_dir: str):
+        self.state, step = checkpoints.restore_checkpoint(ckpt_dir, self.state)
+        return step
+
+
+def _default_lpips_variables():
+    """LPIPS variables with the reference's bundled lin heads if mounted."""
+    lpips = LPIPS(net="alex")
+    z = jnp.zeros((1, 64, 64, 3))
+    base = lpips.init(jax.random.key(0), z, z)
+    lin = reference_lin_weights_path("alex")
+    if lin:
+        return load_lpips_params("alex", lin_path=lin, base_params=base)
+    return base
+
+
+def create_model(opt: Dict, mesh=None):
+    """Trainer registry (reference: codes/SRN/models/__init__.py:5-26)."""
+    model = opt.get("model")
+    if model == "sr":
+        return SRModel(opt)
+    if model == "DASR":
+        return DASRModel(opt, mesh=mesh)
+    if model in ("srgan", "srragan", "De_Resnet", "De_patch_wavelet_GAN",
+                 "DASR_Adaptive_Model"):
+        raise NotImplementedError(
+            f"Model [{model}] is on the build roadmap (SURVEY.md §7 step 8); "
+            "'sr' and 'DASR' are available."
+        )
+    raise NotImplementedError(f"Model [{model}] not recognized.")

@@ -24,7 +24,7 @@ Dtype = Any
 # (out_ch, kernel, stride, pad) per conv; 'M' = 3x3/2 maxpool (alexnet) or
 # 2x2/2 maxpool (vgg); taps taken after the ReLU of the listed conv indices.
 _ALEX_CFG: Sequence = [(64, 11, 4, 2), "M3", (192, 5, 1, 2), "M3", (384, 3, 1, 1), (256, 3, 1, 1), (256, 3, 1, 1)]
-_ALEX_TAPS = (0, 2, 4, 5, 6)  # tap after relu of conv index
+_ALEX_TAPS = (0, 1, 2, 3, 4)  # tap after each conv's relu (relu1..relu5)
 
 _VGG16_CFG: Sequence = [
     (64, 3, 1, 1), (64, 3, 1, 1), "M2",

@@ -55,25 +55,15 @@ def _depthwise_conv(x: jax.Array, kernel2d: np.ndarray, stride: int, pad: int):
 
 
 def _avg_pool(x: jax.Array, k: int, stride: int, pad: int, include_pad: bool):
-    sums = jax.lax.reduce_window(
-        x,
-        jnp.zeros((), x.dtype),
-        jax.lax.add,
-        window_dimensions=(1, k, k, 1),
-        window_strides=(1, stride, stride, 1),
-        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
-    )
+    # windowed sums as a depthwise ones-conv: differentiable and MXU-fusible
+    ones_k = np.ones((k, k), dtype=np.float32)
+    sums = _depthwise_conv(x, ones_k, stride, pad)
     if include_pad:
         return sums / (k * k)
-    counts = jax.lax.reduce_window(
-        jnp.ones(x.shape[-3:-1], x.dtype)[None, :, :, None],
-        jnp.zeros((), x.dtype),
-        jax.lax.add,
-        window_dimensions=(1, k, k, 1),
-        window_strides=(1, stride, stride, 1),
-        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    counts = _depthwise_conv(
+        jnp.ones((1,) + x.shape[-3:-1] + (1,), x.dtype), ones_k, stride, pad
     )
-    return sums / counts
+    return sums / jax.lax.stop_gradient(counts)
 
 
 def filter_low(

@@ -99,7 +99,7 @@ def _extract_tiles(img: jax.Array, tile: int, halo: int) -> jax.Array:
 def tiled_apply(
     img: jax.Array,
     model: Callable[[jax.Array], jax.Array],
-    scale: int,
+    scale: float,
     tile: int = 256,
     halo: int = 20,
     mesh: Optional[Mesh] = None,
@@ -114,6 +114,11 @@ def tiled_apply(
     batch is sharded over ``axis`` (tiles padded to a multiple of the axis
     size) — the TPU-native replacement for forward_chop's DataParallel
     scatter (reference: codes/SRN/utils/util.py:105-113).
+
+    ``scale`` may be fractional (e.g. 0.25 for the DSN HR->LR generator);
+    ``tile*scale`` and ``halo*scale`` must be integers. The final output is
+    cropped to (ceil(H*scale), ceil(W*scale)) — matching the composition of
+    the net's own strided-conv ceils.
     """
     b, h, w, c = img.shape
     ph = (tile - h % tile) % tile
@@ -140,11 +145,14 @@ def tiled_apply(
     if pad_n:
         out_tiles = out_tiles[:n_tiles]
 
-    th = scale * halo
-    inner = out_tiles[:, th : th + scale * tile, th : th + scale * tile, :]
+    th = int(round(scale * halo))
+    st = int(round(scale * tile))
+    assert abs(th - scale * halo) < 1e-9 and abs(st - scale * tile) < 1e-9, (
+        "tile*scale and halo*scale must be integers"
+    )
+    inner = out_tiles[:, th : th + st, th : th + st, :]
     co = inner.shape[-1] if out_channels is None else out_channels
-    # reassemble: (b*nh*nw, st, st, c) -> (b, nh, nw, st, st, c) -> image
-    st = scale * tile
+    # reassemble: (nh*nw*b, st, st, c) -> (b, nh, nw, st, st, c) -> image
     grid = inner.reshape(nh, nw, b, st, st, co).transpose(2, 0, 3, 1, 4, 5)
     out = grid.reshape(b, nh * st, nw * st, co)
-    return out[:, : scale * h, : scale * w, :]
+    return out[:, : math.ceil(scale * h), : math.ceil(scale * w), :]

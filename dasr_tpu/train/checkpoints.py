@@ -42,12 +42,16 @@ def save_checkpoint(path: str, state, step: int, keep: int = 5) -> str:
     return os.path.join(path, str(step))
 
 
-def restore_checkpoint(path: str, template, step: Optional[int] = None):
+def restore_checkpoint(path: str, template=None, step: Optional[int] = None):
+    """Restore a checkpoint; with ``template=None`` returns the raw pytree
+    (nested dicts) — used by inference CLIs that only need params."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     with ocp.CheckpointManager(path) as mgr:
         step = mgr.latest_step() if step is None else step
+        if template is None:
+            return mgr.restore(step), step
         return mgr.restore(step, args=ocp.args.StandardRestore(template)), step
 
 
