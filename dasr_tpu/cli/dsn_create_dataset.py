@@ -63,6 +63,10 @@ _DATASET_KEYS = {
 def main(argv=None):
     opt = build_argparser().parse_args(argv)
 
+    from dasr_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+
     import jax
     import jax.numpy as jnp
 

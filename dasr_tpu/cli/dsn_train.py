@@ -71,6 +71,10 @@ def build_argparser():
 def main(argv=None):
     opt = build_argparser().parse_args(argv)
 
+    from dasr_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+
     import jax
     import numpy as np
 

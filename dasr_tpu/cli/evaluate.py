@@ -20,6 +20,10 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=None)
     args = p.parse_args(argv)
 
+    from dasr_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+
     import numpy as np
 
     from dasr_tpu.data.io import list_images, read_img

@@ -22,6 +22,10 @@ def main(argv=None):
     parser.add_argument("-opt", type=str, required=True, help="Path to options JSON file.")
     args = parser.parse_args(argv)
 
+    from dasr_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+
     from dasr_tpu.core.config import dict2str, parse_srn_options
     from dasr_tpu.data.datasets import create_dataset
     from dasr_tpu.data.io import save_img

@@ -22,6 +22,10 @@ def main(argv=None):
     parser.add_argument("-opt", type=str, required=True)
     args = parser.parse_args(argv)
 
+    from dasr_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+
     import numpy as np
 
     from dasr_tpu.core import mesh as meshlib

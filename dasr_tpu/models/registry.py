@@ -246,6 +246,221 @@ class DASRModel(_InferenceMixin):
         return step
 
 
+class SRGANModel(SRModel):
+    """'srgan' / 'srragan' — ESRGAN-recipe GAN trainers."""
+
+    def __init__(self, opt: Dict, ragan: bool = False, mesh=None):
+        from dasr_tpu.train.srgan_trainer import SRGANConfig, SRGANTrainer
+
+        self.opt = opt
+        train = opt.get("train") or {}
+        net_g = opt.get("network_G") or {}
+        net_d = opt.get("network_D") or {}
+        cfg = SRGANConfig(
+            scale=opt.get("scale", 4),
+            nf=net_g.get("nf", 64), nb=net_g.get("nb", 23), gc=net_g.get("gc", 32),
+            d_input_size=int(
+                (opt.get("datasets") or {}).get("train", {}).get("HR_size", 128) or 128
+            ),
+            d_nf=net_d.get("nf", 64),
+            lr_g=train.get("lr_G", 1e-4), lr_d=train.get("lr_D", 1e-4),
+            beta1_g=train.get("beta1_G", 0.9), beta1_d=train.get("beta1_D", 0.9),
+            lr_steps=tuple(int(m) for m in (train.get("lr_steps") or ())),
+            lr_gamma=train.get("lr_gamma", 0.5),
+            pixel_criterion=train.get("pixel_criterion", "l1"),
+            pixel_weight=train.get("pixel_weight", 1e-2) or 0.0,
+            feature_criterion=train.get("feature_criterion", "l1"),
+            feature_weight=train.get("feature_weight", 1.0) or 0.0,
+            gan_type=train.get("gan_type", "vanilla"),
+            gan_weight=train.get("gan_weight", 5e-3),
+            ragan=ragan or bool(train.get("ragan", False)),
+            d_update_ratio=train.get("D_update_ratio", 1) or 1,
+            d_init_iters=train.get("D_init_iters", 0) or 0,
+            dtype=jnp.bfloat16 if opt.get("bf16", True) else None,
+        )
+        self.trainer = SRGANTrainer(cfg, mesh=mesh)
+        self.state = None
+        self._jit_apply = None
+
+    def init(self, key=None, lr_size: int = 32):
+        key = key if key is not None else jax.random.key(0)
+        self.state = self.trainer.init_state(key, lr_size=lr_size)
+        return self
+
+    def load(self):
+        path = (self.opt.get("path") or {}).get("pretrain_model_G")
+        if path and path.endswith(".pth"):
+            params = checkpoints.import_rrdbnet_params(
+                path, nb=(self.opt.get("network_G") or {}).get("nb", 23)
+            )
+            self.state = self.state.replace(g=self.state.g.replace(params=params))
+        elif path:
+            restored, _ = checkpoints.restore_checkpoint(path, self.state)
+            self.state = restored
+        return self
+
+    def _apply_g(self, x):
+        if self._jit_apply is None:
+            self._jit_apply = jax.jit(self.trainer.g_model.apply)
+        return self._jit_apply(self.state.g.params, x)
+
+    def train_step(self, batch):
+        c = self.trainer.cfg
+        step = int(self.state.step)
+        do_g = (step % c.d_update_ratio) == 0 and step > c.d_init_iters
+        dev = {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)}
+        self.state, metrics = self.trainer.train_step(self.state, dev, do_g=do_g)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def save(self, ckpt_dir: str, iter_step: int):
+        checkpoints.save_checkpoint(ckpt_dir, self.state, iter_step)
+
+    def resume(self, ckpt_dir: str):
+        self.state, step = checkpoints.restore_checkpoint(ckpt_dir, self.state)
+        return step
+
+
+class DegradationModel(_InferenceMixin):
+    """'De_Resnet' — supervised HR->LR trainer."""
+
+    def __init__(self, opt: Dict):
+        from dasr_tpu.train.degradation_trainer import (
+            DegradationConfig,
+            DegradationTrainer,
+        )
+
+        self.opt = opt
+        train = opt.get("train") or {}
+        net_g = opt.get("network_G") or {}
+        cfg = DegradationConfig(
+            scale=opt.get("scale", 4),
+            nb=net_g.get("nb", 8),
+            lr_g=train.get("lr_G", 1e-4),
+            beta1_g=train.get("beta1_G", 0.9),
+            lr_steps=tuple(int(m) for m in (train.get("lr_steps") or ())),
+            lr_gamma=train.get("lr_gamma", 0.5),
+            pixel_criterion=train.get("pixel_criterion", "l1"),
+            pixel_weight=train.get("pixel_weight", 1.0),
+            dtype=jnp.bfloat16 if opt.get("bf16", True) else None,
+        )
+        self.trainer = DegradationTrainer(cfg)
+        self.state = None
+        self._jit_apply = None
+
+    def init(self, key=None, lr_size: int = 32):
+        key = key if key is not None else jax.random.key(0)
+        self.state = self.trainer.init_state(
+            key, hr_size=lr_size * self.opt.get("scale", 4)
+        )
+        return self
+
+    def load(self):
+        return self
+
+    def _apply_g(self, x):
+        if self._jit_apply is None:
+            self._jit_apply = jax.jit(self.trainer.g_model.apply)
+        return self._jit_apply(self.state.params, x)
+
+    def test(self, hr_img: np.ndarray) -> np.ndarray:
+        return np.asarray(self._apply_g(jnp.asarray(hr_img)[None])[0])
+
+    def train_step(self, batch):
+        dev = {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)}
+        self.state, metrics = self.trainer.train_step(self.state, dev)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def save(self, ckpt_dir: str, iter_step: int):
+        checkpoints.save_checkpoint(ckpt_dir, {"g": self.state.params}, iter_step)
+
+
+class DASRAdaptiveModel(_InferenceMixin):
+    """'DASR_Adaptive_Model' — online-DDM DASR variant."""
+
+    def __init__(self, opt: Dict, mesh=None):
+        from dasr_tpu.train.dasr_adaptive_trainer import (
+            AdaptiveConfig,
+            DASRAdaptiveTrainer,
+        )
+
+        self.opt = opt
+        train = opt.get("train") or {}
+        net_g = opt.get("network_G") or {}
+        net_d = opt.get("network_D") or {}
+        net_pd = opt.get("network_patchD") or {}
+        cfg = AdaptiveConfig(
+            scale=opt.get("scale", 4),
+            nf=net_g.get("nf", 64), nb=net_g.get("nb", 23), gc=net_g.get("gc", 32),
+            nb_ada=net_g.get("ada_nb", 1) or 1,
+            concat=(net_g.get("which_model_G") == "RRDB_Residual_conv_concat"),
+            d_in_nc=net_d.get("in_nc", 9), d_nf=net_d.get("nf", 64),
+            d_n_layers=net_d.get("n_layers", 2),
+            lr_g=train.get("lr_G", 1e-4), lr_d=train.get("lr_D", 1e-4),
+            beta1_g=train.get("beta1_G", 0.9), beta1_d=train.get("beta1_D", 0.9),
+            lr_steps=tuple(int(m) for m in (train.get("lr_steps") or (35000,))),
+            lr_gamma=train.get("lr_gamma", 0.5),
+            fs=train.get("fs", "wavelet"),
+            norm=bool(train.get("norm", True)),
+            sup_LL=bool(train.get("sup_LL", True)),
+            pixel_weight=train.get("pixel_weight", 1.0),
+            pixel_LL_weight=train.get("pixel_LL_weight", 1.0),
+            feature_criterion=train.get("feature_criterion", "LPIPS"),
+            feature_weight=train.get("feature_weight", 1.0),
+            gan_type=train.get("gan_type", "vanilla"),
+            ragan=bool(train.get("ragan", False)),
+            gan_H_target=train.get("gan_H_target", 0.005),
+            use_domain_distance_map=bool(opt.get("adaptive_weights", True)),
+            use_patchD_opt=bool(train.get("use_patchD_opt", False)),
+            patchd_fs_type=net_pd.get("FS_type", "avg_pool") or "avg_pool",
+            patchd_kernel_size=net_pd.get("kernel_size", 5) or 5,
+            patchd_norm_layer=net_pd.get("norm_layer", "Instance") or "Instance",
+            dtype=jnp.bfloat16 if opt.get("bf16", True) else None,
+        )
+        patchd_variables = None
+        patchd_path = (opt.get("path") or {}).get("pretrain_model_patchD")
+        if patchd_path and patchd_path.endswith(".tar"):
+            ckpt = checkpoints.load_dsn_tar(patchd_path)
+            patchd_variables = checkpoints.import_fsd_discriminator_params(
+                ckpt.get("models_d_state_dict", ckpt), norm_layer=cfg.patchd_norm_layer
+            )
+        self.trainer = DASRAdaptiveTrainer(
+            cfg, lpips_variables=_default_lpips_variables(), mesh=mesh,
+            patchd_variables=patchd_variables,
+        )
+        self.state = None
+        self._jit_sr = None
+
+    def init(self, key=None, lr_size: int = 32):
+        key = key if key is not None else jax.random.key(0)
+        self.state = self.trainer.init_state(key, lr_size=lr_size)
+        return self
+
+    def load(self):
+        return self
+
+    def _apply_g(self, x):
+        if self._jit_sr is None:
+            self._jit_sr = jax.jit(
+                lambda gp, pp, v: self.trainer.sr(gp, v, patchd_params=pp)
+            )
+        return self._jit_sr(self.state.base.g.params, self.state.patchd.params, x)
+
+    def test(self, lr_img: np.ndarray) -> np.ndarray:
+        return self._infer(lr_img)
+
+    def train_step(self, batch):
+        dev = {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)}
+        self.state, metrics = self.trainer.train_step(self.state, dev)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def save(self, ckpt_dir: str, iter_step: int):
+        checkpoints.save_checkpoint(ckpt_dir, self.state, iter_step)
+
+    def resume(self, ckpt_dir: str):
+        self.state, step = checkpoints.restore_checkpoint(ckpt_dir, self.state)
+        return step
+
+
 def _default_lpips_variables():
     """LPIPS variables with the reference's bundled lin heads if mounted."""
     lpips = LPIPS(net="alex")
@@ -257,6 +472,67 @@ def _default_lpips_variables():
     return base
 
 
+class DePatchModel(_InferenceMixin):
+    """'De_patch_wavelet_GAN' — HR->LR GAN with wavelet-split losses."""
+
+    def __init__(self, opt: Dict):
+        from dasr_tpu.train.depatch_trainer import DePatchConfig, DePatchTrainer
+
+        self.opt = opt
+        train = opt.get("train") or {}
+        net_g = opt.get("network_G") or {}
+        cfg = DePatchConfig(
+            scale=opt.get("scale", 4),
+            nb=net_g.get("nb", 8),
+            lr_g=train.get("lr_G", 1e-4), lr_d=train.get("lr_D", 1e-4),
+            beta1_g=train.get("beta1_G", 0.9), beta1_d=train.get("beta1_D", 0.9),
+            lr_steps=tuple(int(m) for m in (train.get("lr_steps") or (100000,))),
+            lr_gamma=train.get("lr_gamma", 0.5),
+            norm=bool(train.get("norm", True)),
+            pixel_criterion=train.get("pixel_criterion", "l1"),
+            pixel_weight=train.get("pixel_weight", 1.0) or 0.0,
+            feature_criterion=train.get("feature_criterion", "LPIPS"),
+            feature_weight=train.get("feature_weight", 1.0) or 0.0,
+            gan_weight=train.get("gan_weight", 0.005) or 0.005,
+            ragan=bool(train.get("ragan", False)),
+            dtype=jnp.bfloat16 if opt.get("bf16", True) else None,
+        )
+        self.trainer = DePatchTrainer(cfg, lpips_variables=_default_lpips_variables())
+        self.state = None
+        self._jit_apply = None
+
+    def init(self, key=None, lr_size: int = 32):
+        key = key if key is not None else jax.random.key(0)
+        self.state = self.trainer.init_state(
+            key, hr_size=lr_size * self.opt.get("scale", 4)
+        )
+        return self
+
+    def load(self):
+        return self
+
+    def _apply_g(self, x):
+        if self._jit_apply is None:
+            self._jit_apply = jax.jit(self.trainer.g_model.apply)
+        return self._jit_apply(self.state.g.params, x)
+
+    def test(self, hr_img: np.ndarray) -> np.ndarray:
+        return np.asarray(self._apply_g(jnp.asarray(hr_img)[None])[0])
+
+    def realness_map(self, lr_img: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            self.trainer.realness_map(self.state.d_target.params, jnp.asarray(lr_img)[None])[0]
+        )
+
+    def train_step(self, batch):
+        dev = {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)}
+        self.state, metrics = self.trainer.train_step(self.state, dev)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def save(self, ckpt_dir: str, iter_step: int):
+        checkpoints.save_checkpoint(ckpt_dir, self.state, iter_step)
+
+
 def create_model(opt: Dict, mesh=None):
     """Trainer registry (reference: codes/SRN/models/__init__.py:5-26)."""
     model = opt.get("model")
@@ -264,10 +540,14 @@ def create_model(opt: Dict, mesh=None):
         return SRModel(opt)
     if model == "DASR":
         return DASRModel(opt, mesh=mesh)
-    if model in ("srgan", "srragan", "De_Resnet", "De_patch_wavelet_GAN",
-                 "DASR_Adaptive_Model"):
-        raise NotImplementedError(
-            f"Model [{model}] is on the build roadmap (SURVEY.md §7 step 8); "
-            "'sr' and 'DASR' are available."
-        )
+    if model == "srgan":
+        return SRGANModel(opt, ragan=False, mesh=mesh)
+    if model == "srragan":
+        return SRGANModel(opt, ragan=True, mesh=mesh)
+    if model == "De_Resnet":
+        return DegradationModel(opt)
+    if model == "De_patch_wavelet_GAN":
+        return DePatchModel(opt)
+    if model == "DASR_Adaptive_Model":
+        return DASRAdaptiveModel(opt, mesh=mesh)
     raise NotImplementedError(f"Model [{model}] not recognized.")

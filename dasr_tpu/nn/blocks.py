@@ -187,6 +187,81 @@ class RRDB(nn.Module):
         return x + out * 0.2
 
 
+class RRDBResidualConv(nn.Module):
+    """DDM-conditioned RRDB, 'resconv' flavor (block.py:462-488).
+
+    out = RDB3(RDB2(RDB1(x))) * (w * s1) + res_conv(x) * s0, where ``w`` is
+    the per-pixel adaptive/domain-distance map broadcast over channels.
+    """
+
+    nc: int = 64
+    gc: int = 32
+    n_resconv: int = 2
+    resconv_scale: tuple = (0.1, 1.0)
+    act_type: str = "leakyrelu"
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, weights):
+        kw = dict(nc=self.nc, gc=self.gc, act_type=self.act_type, dtype=self.dtype)
+        out = RDB5C(**kw)(x)
+        out = RDB5C(**kw)(out)
+        out = RDB5C(**kw)(out)
+        res = x
+        for _ in range(self.n_resconv):
+            res = conv_block(
+                self.nc, 3, norm_type=None, act_type=self.act_type, dtype=self.dtype
+            )(res)
+        return out * (weights * self.resconv_scale[1]) + res * self.resconv_scale[0]
+
+
+class RRDBResidualConvConcat(nn.Module):
+    """DDM-conditioned RRDB, 'concat' flavor (block.py:490-528).
+
+    The weight map (scaled) is concatenated as an extra channel before each
+    RDB via a shared adaptive conv stack, and before the residual conv
+    stack; out = 0.2*RDB-chain + residual. Note the reference *shares* one
+    ``adaptive_conv`` across the three RDB inputs — reproduced here by
+    reusing the same submodule.
+    """
+
+    nc: int = 64
+    gc: int = 32
+    n_resconv: int = 2
+    n_ada_conv: int = 2
+    adaptive_scale: tuple = (0.2, 1.0)
+    act_type: str = "leakyrelu"
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, weights):
+        kw = dict(nc=self.nc, gc=self.gc, act_type=self.act_type, dtype=self.dtype)
+        ada_convs = [
+            conv_block(
+                self.nc, 3, norm_type=None, act_type=self.act_type,
+                dtype=self.dtype, name=f"ada_conv_{i}",
+            )
+            for i in range(self.n_ada_conv)
+        ]
+
+        def ada(v):
+            v = jnp.concatenate([v, weights * self.adaptive_scale[0]], axis=-1)
+            for c in ada_convs:
+                v = c(v)
+            return v
+
+        out = RDB5C(**kw)(ada(x))
+        out = RDB5C(**kw)(ada(out))
+        out = RDB5C(**kw)(ada(out))
+        res = jnp.concatenate([x, weights * self.adaptive_scale[1]], axis=-1)
+        for i in range(self.n_resconv):
+            res = conv_block(
+                self.nc, 3, norm_type=None, act_type=self.act_type,
+                dtype=self.dtype, name=f"res_conv_{i}",
+            )(res)
+        return out * 0.2 + res
+
+
 class upconv(nn.Module):
     """Nearest-neighbour x`factor` upsample + conv + act (block.py:854-861)."""
 

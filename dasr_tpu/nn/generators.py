@@ -25,7 +25,14 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from dasr_tpu.nn.blocks import RRDB, ResidualBlock, pixelshuffle_block, upconv
+from dasr_tpu.nn.blocks import (
+    RRDB,
+    RRDBResidualConv,
+    RRDBResidualConvConcat,
+    ResidualBlock,
+    pixelshuffle_block,
+    upconv,
+)
 from dasr_tpu.nn.layers import PReLU, conv_block
 
 Dtype = Any
@@ -115,6 +122,49 @@ class SRResNet(nn.Module):
                 )(h)
             else:
                 h = upconv(self.nf, factor, act_type=self.act_type, dtype=self.dtype)(h)
+        h = conv_block(self.nf, 3, norm_type=None, act_type=self.act_type, dtype=self.dtype)(h)
+        return conv_block(self.out_nc, 3, norm_type=None, act_type=None, dtype=self.dtype)(h)
+
+
+class RRDBNetResidualConv(nn.Module):
+    """DDM-conditioned ESRGAN generator for the Adaptive model.
+
+    Reference: architecture.py:208-297 — ``nb_ada`` conditioned blocks
+    (resconv or concat flavor) run first on the head features, then ``nb``
+    plain RRDBs, trunk conv, long skip, nearest-upconv tail. Called as
+    ``apply(params, x, adaptive_weights)`` with a (B,h,w,1) weight map.
+    """
+
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    nb: int = 23
+    gc: int = 32
+    nb_ada: int = 1
+    concat: bool = False  # False: RRDB_Residual_conv; True: _concat variant
+    upscale: int = 4
+    act_type: str = "leakyrelu"
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, adaptive_weights):
+        n_up = 1 if self.upscale == 3 else int(math.log2(self.upscale))
+        fea = conv_block(self.nf, 3, norm_type=None, act_type=None, dtype=self.dtype)(x)
+        h = fea
+        block_cls = RRDBResidualConvConcat if self.concat else RRDBResidualConv
+        for _ in range(self.nb_ada):
+            h = block_cls(
+                nc=self.nf, gc=self.gc, act_type=self.act_type, dtype=self.dtype
+            )(h, adaptive_weights)
+        for _ in range(self.nb):
+            h = RRDB(
+                nc=self.nf, gc=self.gc, act_type=self.act_type, dtype=self.dtype
+            )(h)
+        h = conv_block(self.nf, 3, norm_type=None, act_type=None, dtype=self.dtype)(h)
+        h = fea + h
+        for _ in range(n_up):
+            factor = 3 if self.upscale == 3 else 2
+            h = upconv(self.nf, factor, act_type=self.act_type, dtype=self.dtype)(h)
         h = conv_block(self.nf, 3, norm_type=None, act_type=self.act_type, dtype=self.dtype)(h)
         return conv_block(self.out_nc, 3, norm_type=None, act_type=None, dtype=self.dtype)(h)
 
