@@ -1,0 +1,90 @@
+"""LPIPS distance CLIs (reference: codes/PerceptualSimilarity/
+compute_dists.py, compute_dists_dirs.py, compute_dists_pair.py).
+
+  pair   — distance between two images
+  dirs   — per-file distances between two directories (writes a report)
+  self   — consecutive-pair distances within one directory
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def _lpips_fn(net="alex"):
+    import jax
+    import numpy as np
+
+    from dasr_tpu.losses.lpips import LPIPS
+    from dasr_tpu.models.registry import _default_lpips_variables
+
+    lpips = LPIPS(net=net)
+    variables = _default_lpips_variables()
+    fn = jax.jit(lambda a, b: lpips.apply(variables, a, b))
+
+    def compute(img0_u8, img1_u8):
+        a = img0_u8.astype(np.float32) / 127.5 - 1.0
+        b = img1_u8.astype(np.float32) / 127.5 - 1.0
+        return float(np.asarray(fn(a[None], b[None]))[0, 0, 0, 0])
+
+    return compute
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="LPIPS distances")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pp = sub.add_parser("pair")
+    pp.add_argument("-p0", "--path0", required=True)
+    pp.add_argument("-p1", "--path1", required=True)
+    pd = sub.add_parser("dirs")
+    pd.add_argument("-d0", "--dir0", required=True)
+    pd.add_argument("-d1", "--dir1", required=True)
+    pd.add_argument("-o", "--out", default=None)
+    ps = sub.add_parser("self")
+    ps.add_argument("-d", "--dir", required=True)
+    for s in (pp, pd, ps):
+        s.add_argument("--net", default="alex", choices=["alex", "vgg"])
+    args = p.parse_args(argv)
+
+    from dasr_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+
+    import numpy as np
+
+    from dasr_tpu.data.io import list_images, read_img
+    from dasr_tpu.eval.evaluate import to_uint8
+
+    compute = _lpips_fn(args.net)
+
+    if args.cmd == "pair":
+        d = compute(to_uint8(read_img(args.path0)), to_uint8(read_img(args.path1)))
+        print(f"Distance: {d:.4f}")
+        return d
+    if args.cmd == "dirs":
+        files0, files1 = list_images(args.dir0), list_images(args.dir1)
+        out_f = open(args.out, "w") if args.out else None
+        dists = []
+        for f0, f1 in zip(files0, files1):
+            d = compute(to_uint8(read_img(f0)), to_uint8(read_img(f1)))
+            dists.append(d)
+            line = f"{os.path.basename(f0)}: {d:.4f}"
+            print(line)
+            if out_f:
+                out_f.write(line + "\n")
+        print(f"mean: {np.mean(dists):.6f}")
+        if out_f:
+            out_f.close()
+        return float(np.mean(dists))
+    files = list_images(args.dir)
+    dists = []
+    for f0, f1 in zip(files[:-1], files[1:]):
+        d = compute(to_uint8(read_img(f0)), to_uint8(read_img(f1)))
+        dists.append(d)
+        print(f"({os.path.basename(f0)}, {os.path.basename(f1)}): {d:.4f}")
+    print(f"mean: {np.mean(dists):.6f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -127,6 +127,30 @@ class SRModel(_InferenceMixin):
     def test(self, lr_img: np.ndarray) -> np.ndarray:
         return self._infer(lr_img)
 
+    def test_x8(self, lr_img: np.ndarray) -> np.ndarray:
+        """Geometric self-ensemble: average the 8 dihedral transforms
+        (reference: codes/SRN/models/SR_model.py:102-140)."""
+        outs = []
+        for rot in range(2):
+            for fh in range(2):
+                for fv in range(2):
+                    t = lr_img
+                    if fv:
+                        t = t[::-1, :, :]
+                    if fh:
+                        t = t[:, ::-1, :]
+                    if rot:
+                        t = t.transpose(1, 0, 2)
+                    sr = self._infer(np.ascontiguousarray(t))
+                    if rot:
+                        sr = sr.transpose(1, 0, 2)
+                    if fh:
+                        sr = sr[:, ::-1, :]
+                    if fv:
+                        sr = sr[::-1, :, :]
+                    outs.append(sr)
+        return np.mean(np.stack(outs), axis=0)
+
     def train_step(self, batch):
         import optax
 

@@ -1,0 +1,140 @@
+"""Small offline utilities, one flag-selected tool per reference script:
+
+  * gif/video assembly   (reference: codes/SRN/scripts/make_gif_video.py)
+  * bulk rename          (reference: codes/SRN/scripts/rename.py)
+  * color -> gray        (reference: codes/SRN/scripts/color2gray.py)
+  * create_lmdb          (reference: codes/SRN/scripts/create_lmdb.py) —
+    gated: the lmdb module isn't in this image; raises with instructions.
+  * iterative back-projection refinement (replaces the MATLAB
+    codes/SRN/scripts/back_projection/*.m): sr <- sr + resize_up(lr -
+    resize_down(sr)) for N iterations with MATLAB-parity bicubic.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import cv2
+import numpy as np
+
+
+def back_projection(sr: np.ndarray, lr: np.ndarray, scale: int, n_iters: int = 10):
+    """IBP refinement with MATLAB-bicubic up/down (float [0,1] HWC)."""
+    from dasr_tpu.ops.resize import imresize_np
+
+    sr = sr.astype(np.float64)
+    for _ in range(n_iters):
+        down = imresize_np(sr, 1.0 / scale, clip=False)
+        err = lr.astype(np.float64) - down
+        sr = sr + imresize_np(err, float(scale), clip=False)
+    return np.clip(sr, 0, 1)
+
+
+def _tool_back_projection(args):
+    from dasr_tpu.data.io import list_images, read_img, save_img
+
+    os.makedirs(args.out, exist_ok=True)
+    sr_files, lr_files = list_images(args.sr_dir), list_images(args.lr_dir)
+    for s, l in zip(sr_files, lr_files):
+        out = back_projection(read_img(s), read_img(l), args.scale, args.iters)
+        save_img(out, os.path.join(args.out, os.path.basename(s)))
+        print(os.path.basename(s))
+
+
+def _tool_gif(args):
+    from dasr_tpu.data.io import list_images
+
+    files = list_images(args.input_dir)
+    first = cv2.imread(files[0])
+    h, w = first.shape[:2]
+    vw = cv2.VideoWriter(
+        args.out, cv2.VideoWriter_fourcc(*"mp4v"), args.fps, (w, h)
+    )
+    for f in files:
+        img = cv2.imread(f)
+        if img.shape[:2] != (h, w):
+            img = cv2.resize(img, (w, h))
+        vw.write(img)
+    vw.release()
+    print(f"wrote {args.out} ({len(files)} frames)")
+
+
+def _tool_rename(args):
+    from dasr_tpu.data.io import list_images
+
+    for i, f in enumerate(sorted(list_images(args.input_dir))):
+        ext = os.path.splitext(f)[1]
+        new = os.path.join(args.input_dir, args.pattern.format(i=i) + ext)
+        os.rename(f, new)
+    print("renamed files in", args.input_dir)
+
+
+def _tool_gray(args):
+    from dasr_tpu.data.io import list_images
+
+    os.makedirs(args.out, exist_ok=True)
+    for f in list_images(args.input_dir):
+        g = cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2GRAY)
+        cv2.imwrite(os.path.join(args.out, os.path.basename(f)), g)
+    print("wrote grayscale images to", args.out)
+
+
+def _tool_lmdb(args):
+    try:
+        import lmdb  # noqa: F401
+    except ImportError as e:
+        raise SystemExit(
+            "the lmdb module is not available in this environment; install "
+            "lmdb or use plain image folders (the data pipeline reads both)"
+        ) from e
+    from dasr_tpu.data.io import list_images
+
+    env = lmdb.open(args.out, map_size=1099511627776)
+    files = list_images(args.input_dir)
+    with env.begin(write=True) as txn:
+        for f in files:
+            with open(f, "rb") as fh:
+                txn.put(os.path.basename(f).encode(), fh.read())
+    print(f"wrote {len(files)} entries to {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="dasr_tpu offline tools")
+    sub = p.add_subparsers(dest="tool", required=True)
+
+    bp = sub.add_parser("back_projection")
+    bp.add_argument("--sr_dir", required=True)
+    bp.add_argument("--lr_dir", required=True)
+    bp.add_argument("--out", required=True)
+    bp.add_argument("--scale", type=int, default=4)
+    bp.add_argument("--iters", type=int, default=10)
+    bp.set_defaults(fn=_tool_back_projection)
+
+    g = sub.add_parser("make_video")
+    g.add_argument("--input_dir", required=True)
+    g.add_argument("--out", required=True)
+    g.add_argument("--fps", type=int, default=10)
+    g.set_defaults(fn=_tool_gif)
+
+    r = sub.add_parser("rename")
+    r.add_argument("--input_dir", required=True)
+    r.add_argument("--pattern", default="{i:05d}")
+    r.set_defaults(fn=_tool_rename)
+
+    c = sub.add_parser("color2gray")
+    c.add_argument("--input_dir", required=True)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=_tool_gray)
+
+    l = sub.add_parser("create_lmdb")
+    l.add_argument("--input_dir", required=True)
+    l.add_argument("--out", required=True)
+    l.set_defaults(fn=_tool_lmdb)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

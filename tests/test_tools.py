@@ -1,0 +1,115 @@
+"""Tests for offline tools, LPIPS CLIs/training, and self-ensemble."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dasr_tpu.data.io import save_img
+
+
+def test_net_interp_blends(tmp_path, rng):
+    from dasr_tpu.nn.generators import RRDBNet
+    from dasr_tpu.scripts.net_interp import interpolate_params
+    from dasr_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+
+    m = RRDBNet(nf=8, nb=1, gc=4)
+    va = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    vb = m.init(jax.random.key(1), jnp.zeros((1, 8, 8, 3)))
+    blended = interpolate_params(va, vb, 0.25)
+    la = jax.tree.leaves(va)[0]
+    lb = jax.tree.leaves(vb)[0]
+    lm = jax.tree.leaves(blended)[0]
+    np.testing.assert_allclose(lm, 0.75 * np.asarray(la) + 0.25 * np.asarray(lb), atol=1e-6)
+    # round trip through orbax
+    save_checkpoint(str(tmp_path / "ck"), blended, 0)
+    restored, step = restore_checkpoint(str(tmp_path / "ck"))
+    assert step == 0
+
+
+def test_transfer_params_copies_matching(rng):
+    from dasr_tpu.nn.generators import RRDBNet
+    from dasr_tpu.scripts.transfer_params import transfer
+
+    src_m = RRDBNet(nf=8, nb=1, gc=4, upscale=2)
+    dst_m = RRDBNet(nf=8, nb=1, gc=4, upscale=4)
+    src = src_m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    dst = dst_m.init(jax.random.key(1), jnp.zeros((1, 8, 8, 3)))
+    merged, copied = transfer(src, dst)
+    assert copied > 0
+    # trunk conv weights copied from src
+    s0 = np.asarray(jax.tree.leaves(src["params"]["conv_block_0"])[0])
+    m0 = np.asarray(jax.tree.leaves(merged["params"]["conv_block_0"])[0])
+    np.testing.assert_allclose(m0, s0)
+
+
+def test_back_projection_reduces_lr_error(rng):
+    from dasr_tpu.ops.resize import imresize_np
+    from dasr_tpu.scripts.misc_tools import back_projection
+
+    hr = rng.random((32, 32, 3))
+    lr = imresize_np(hr, 0.25)
+    sr0 = np.clip(hr + rng.normal(0, 0.05, hr.shape), 0, 1)
+    err0 = np.abs(imresize_np(sr0, 0.25) - lr).mean()
+    sr = back_projection(sr0, lr, 4, n_iters=5)
+    err1 = np.abs(imresize_np(sr, 0.25) - lr).mean()
+    assert err1 < err0 * 0.5
+
+
+def test_misc_tools_color2gray_and_rename(tmp_path, rng):
+    from dasr_tpu.scripts import misc_tools
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    for i in range(3):
+        save_img(rng.random((8, 8, 3)).astype(np.float32), str(src / f"a{i}.png"))
+    misc_tools.main(["color2gray", "--input_dir", str(src), "--out", str(tmp_path / "gray")])
+    assert len(os.listdir(tmp_path / "gray")) == 3
+
+
+def test_compute_dists_pair_cli(tmp_path, rng):
+    from dasr_tpu.cli import compute_dists
+
+    a = rng.random((32, 32, 3)).astype(np.float32)
+    save_img(a, str(tmp_path / "a.png"))
+    save_img(np.clip(a + 0.2, 0, 1), str(tmp_path / "b.png"))
+    d_same = compute_dists.main(["pair", "-p0", str(tmp_path / "a.png"), "-p1", str(tmp_path / "a.png")])
+    d_diff = compute_dists.main(["pair", "-p0", str(tmp_path / "a.png"), "-p1", str(tmp_path / "b.png")])
+    assert d_same < 1e-6
+    assert d_diff > d_same
+
+
+def test_twoafc_training_step(rng):
+    from dasr_tpu.losses.lpips import LPIPS
+    from dasr_tpu.losses.lpips_train import TwoAFCTrainer
+
+    lpips = LPIPS(net="alex")
+    z = jnp.zeros((1, 64, 64, 3))
+    variables = lpips.init(jax.random.key(0), z, z)
+    tr = TwoAFCTrainer()
+    trainable, backbone, opt_state = tr.init(jax.random.key(1), variables)
+    batch = {
+        "ref": jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32)) * 2 - 1,
+        "p0": jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32)) * 2 - 1,
+        "p1": jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32)) * 2 - 1,
+        "judge": jnp.ones((2, 1, 1, 1)) * 0.8,
+    }
+    new_tr, opt_state, metrics = tr.step(trainable, opt_state, backbone, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # lins stay nonnegative after clamping
+    for w in jax.tree.leaves(new_tr["lins"]):
+        assert float(jnp.min(w)) >= 0.0
+
+
+def test_sr_model_x8_self_ensemble(rng):
+    from dasr_tpu.models.registry import create_model
+
+    opt = {"model": "sr", "scale": 4,
+           "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+           "train": {"lr_G": 1e-4, "lr_steps": [10]}}
+    m = create_model(opt).init(lr_size=8)
+    lr = rng.random((8, 8, 3)).astype(np.float32)
+    out = m.test_x8(lr)
+    assert out.shape == (32, 32, 3)
+    assert np.isfinite(out).all()
