@@ -50,7 +50,87 @@ def define_G(opt: Dict) -> Any:
         return DeResnet(n_res_blocks=net.get("nb", 8), scale=scale, dtype=dtype)
     if which == "DSGAN":
         return DSGANGenerator(dtype=dtype)
+    if which in ("RRDB_Residual_conv", "RRDB_Residual_conv_concat", "RRDB_SEAN"):
+        from dasr_tpu.nn.generators import RRDBNetResidualConv
+
+        return RRDBNetResidualConv(
+            in_nc=net.get("in_nc", 3), out_nc=net.get("out_nc", 3),
+            nf=net.get("nf", 64), nb=net.get("nb", 23), gc=net.get("gc", 32),
+            nb_ada=net.get("ada_nb", 1) or 1,
+            concat=(which != "RRDB_Residual_conv"),
+            upscale=scale, dtype=dtype,
+        )
+    if which == "sft_arch":
+        from dasr_tpu.nn.sft import SFTNet
+
+        return SFTNet(dtype=dtype)
     raise NotImplementedError(f"Generator model [{which}] not recognized")
+
+
+def define_D(opt: Dict) -> Any:
+    """Discriminator factory (reference: codes/SRN/models/networks.py:151-194)."""
+    net = opt.get("network_D") or {}
+    which = net.get("which_model_D", "discriminator_vgg_128")
+    return _build_d(which, net, opt)
+
+
+def define_pairD(opt: Dict) -> Any:
+    """Paired-domain D factory (networks.py:196-227)."""
+    net = opt.get("network_D") or {}
+    which = net.get("which_model_pairD", net.get("which_model_D"))
+    return _build_d(which, net, opt)
+
+
+def define_patchD(opt: Dict) -> Any:
+    """FS patch-D factory (networks.py:229-245)."""
+    from dasr_tpu.nn.discriminators import FSDiscriminator
+
+    net = opt.get("network_patchD") or {}
+    if net.get("which_patchD", "FSD") != "FSD":
+        raise NotImplementedError(
+            f"Patch Discriminator model [{net.get('which_patchD')}] not recognized"
+        )
+    return FSDiscriminator(
+        d_arch="FSD",
+        filter_type=net.get("FS_type", "gau") or "gau",
+        kernel_size=net.get("kernel_size", 5) or 5,
+        norm_layer=net.get("norm_layer", "Instance") or "Instance",
+    )
+
+
+def _build_d(which: str, net: Dict, opt: Dict) -> Any:
+    from dasr_tpu.nn.discriminators import (
+        DiscriminatorBasic,
+        DiscriminatorVGG,
+        DiscriminatorVGG128SN,
+        NLayerDiscriminator,
+        make_vgg_discriminator,
+    )
+
+    dtype = jnp.bfloat16 if opt.get("bf16", True) else None
+    if which == "discriminator_vgg_128":
+        return DiscriminatorVGG(input_size=128, in_ch=net.get("in_nc", 3),
+                                nf=net.get("nf", 64), dtype=dtype)
+    if which == "discriminator_vgg_128_SN":
+        return DiscriminatorVGG128SN(dtype=dtype)
+    if which == "discriminator_patch":
+        return NLayerDiscriminator(
+            in_ch=net.get("in_nc", 3), ndf=net.get("nf", 64),
+            n_layers=net.get("n_layers", 3) or 3, norm_layer="Instance",
+            stride=2, use_bias_middle=False, dtype=dtype,
+        )
+    if which == "DSGAN":
+        return DiscriminatorBasic(in_ch=net.get("in_nc", 3), dtype=dtype)
+    if which == "dis_acd":
+        from dasr_tpu.nn.sft import ACDVGGBN96
+
+        return ACDVGGBN96(dtype=dtype)
+    return make_vgg_discriminator(
+        which, in_nc=net.get("in_nc", 3), nf=net.get("nf", 64),
+        norm_type=net.get("norm_type", "batch"),
+        act_type=net.get("act_type", "leakyrelu"),
+        mode=net.get("mode", "CNA"), dtype=dtype,
+    )
 
 
 class _InferenceMixin:

@@ -175,6 +175,120 @@ class FSDiscriminator(nn.Module):
         return out
 
 
+class DiscriminatorVGGStack(nn.Module):
+    """Explicit-stage VGG-style discriminator body.
+
+    ``stages`` is a tuple of (out_ch_multiplier, kernel, stride, use_norm)
+    applied to ``nf``; with ``head=True`` it flattens into the reference's
+    two-linear classifier (flax Dense infers the input dim, so all the
+    per-variant ``512*k*k`` head sizes come out automatically). Covers
+    Discriminator_VGG_96/192/192_wavelet/48 and the patch variant
+    (reference: architecture.py:544-830).
+    """
+
+    stages: tuple
+    nf: int = 64
+    norm_type: Optional[str] = "batch"
+    act_type: str = "leakyrelu"
+    mode: str = "CNA"
+    head: bool = True
+    use_running_average: bool = False
+    axis_name: Optional[str] = None
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        from dasr_tpu.nn.layers import conv_block
+
+        for mult, k, s, use_norm in self.stages:
+            x = conv_block(
+                self.nf * mult, k, stride=s,
+                norm_type=self.norm_type if use_norm else None,
+                act_type=self.act_type, mode=self.mode,
+                use_running_average=self.use_running_average,
+                axis_name=self.axis_name, dtype=self.dtype,
+            )(x)
+        if not self.head:
+            return x
+        x = x.reshape(x.shape[0], -1)
+        x = _lrelu(nn.Dense(100, dtype=self.dtype)(x))
+        return nn.Dense(1, dtype=self.dtype)(x)
+
+
+# stage specs per reference variant: (ch_mult, kernel, stride, use_norm)
+_VGG_STAGES_96 = (
+    (1, 3, 1, False), (1, 4, 2, True), (2, 3, 1, True), (2, 4, 2, True),
+    (4, 3, 1, True), (4, 4, 2, True), (8, 3, 1, True), (8, 4, 2, True),
+    (8, 3, 1, True), (8, 4, 2, True),
+)
+_VGG_STAGES_192 = _VGG_STAGES_96 + ((8, 3, 1, True), (8, 4, 2, True))
+_VGG_STAGES_48 = (
+    (1, 3, 1, False), (1, 4, 1, True), (2, 3, 1, True), (2, 4, 1, True),
+    (4, 3, 1, True), (4, 4, 1, True), (8, 3, 1, True), (8, 4, 2, True),
+    (8, 3, 1, True), (8, 4, 2, True), (8, 3, 1, True), (8, 4, 2, True),
+)
+_VGG_STAGES_96_PATCH = _VGG_STAGES_96 + ((8, 3, 1, True),)
+
+
+def make_vgg_discriminator(which: str, in_nc: int = 3, nf: int = 64,
+                           norm_type: Optional[str] = "batch",
+                           act_type: str = "leakyrelu", mode: str = "CNA",
+                           dtype=None, use_running_average: bool = False):
+    """Variant factory matching the reference's class zoo by name."""
+    specs = {
+        "discriminator_vgg_96": (_VGG_STAGES_96, True),
+        "discriminator_vgg_192": (_VGG_STAGES_192, True),
+        "discriminator_vgg_192_wavelet": (_VGG_STAGES_192, True),
+        "discriminator_vgg_48": (_VGG_STAGES_48, True),
+        "discriminator_vgg_96_patch": (_VGG_STAGES_96_PATCH, False),
+        "discriminator_vgg_patch": (_VGG_STAGES_96_PATCH, False),
+    }
+    if which not in specs:
+        raise NotImplementedError(f"Discriminator model [{which}] not recognized")
+    stages, head = specs[which]
+    return DiscriminatorVGGStack(
+        stages=stages, nf=nf, norm_type=norm_type, act_type=act_type,
+        mode=mode, head=head, dtype=dtype,
+        use_running_average=use_running_average,
+    )
+
+
+class DiscriminatorVGG128SN(nn.Module):
+    """Spectral-norm VGG-128 discriminator (architecture.py:499-541 +
+    modules/spectral_norm.py): 10 SN convs + 2 SN linears, no norm layers.
+    Power iteration state lives in the 'batch_stats' collection (flax
+    SpectralNorm); pass update_stats=True during training steps.
+    """
+
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        def sn(layer):
+            return nn.SpectralNorm(layer)
+
+        chans = [64, 64, 128, 128, 256, 256, 512, 512, 512, 512]
+        for i, ch in enumerate(chans):
+            k, s = (3, 1) if i % 2 == 0 else (4, 2)
+            pad = 1
+            x = sn(
+                nn.Conv(
+                    ch, (k, k), strides=(s, s), padding=[(pad, pad), (pad, pad)],
+                    dtype=self.dtype, name=f"conv{i}",
+                )
+            )(x, update_stats=update_stats)
+            x = _lrelu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = _lrelu(
+            nn.SpectralNorm(nn.Dense(100, dtype=self.dtype, name="linear0"))(
+                x, update_stats=update_stats
+            )
+        )
+        return nn.SpectralNorm(nn.Dense(1, dtype=self.dtype, name="linear1"))(
+            x, update_stats=update_stats
+        )
+
+
 class DiscriminatorVGG(nn.Module):
     """VGG-style global discriminator, downsampling to 4x4 then 2 linears.
 
