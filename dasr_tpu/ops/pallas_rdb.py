@@ -1,0 +1,263 @@
+"""Fused Residual-Dense-Block Pallas kernel.
+
+The ESRGAN trunk (23 x 3 RDBs) is HBM-bandwidth-bound under plain XLA: each
+of the five dense convs round-trips grown concat activations
+(~600 MB per RDB at batch16 128^2 bf16). This kernel computes a whole RDB
+per spatial tile with every intermediate resident in VMEM:
+
+  * the dense concats are pre-factored into per-source scatter weights
+    (see dasr_tpu.nn.blocks.RDB5C): Wx(64->192), W1..W4(32->160/128/96/64);
+  * each 3x3 conv is 9 shifted (tile_pixels, Cin) @ (Cin, Cout) MXU matmuls
+    accumulated in f32;
+  * boundary semantics match the original SAME-zero-padded conv chain
+    exactly: the input is zero-padded by 5 (the chain's receptive halo) and
+    every intermediate x_l is masked to zero outside the true image extent
+    — reproducing the zeros conv_{l+1} would have seen;
+  * grid = (batch, h_tiles, w_tiles); the input tile (T+10)^2 x 64 is DMA'd
+    from HBM, outputs are written as non-overlapping T^2 blocks.
+
+Training uses ``fused_rdb`` through a custom VJP whose backward runs the
+mathematically-identical XLA scatter path, so gradients are exact without a
+hand-written backward kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO = 5  # receptive halo of the 5-conv chain
+
+
+def _round8(n: int) -> int:
+    return (n + 7) // 8 * 8
+
+
+def _conv3x3_valid(buf, w):
+    """VALID 3x3 conv of a (S,S,Cin) VMEM value with (3,3,Cin,Cout) weights."""
+    s = buf.shape[0]
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            patch = buf[dy : dy + s - 2, dx : dx + s - 2, :].reshape(
+                (s - 2) * (s - 2), buf.shape[2]
+            )
+            part = jnp.dot(patch, w[dy, dx], preferred_element_type=jnp.float32)
+            out = part if out is None else out + part
+    return out.reshape(s - 2, s - 2, -1)
+
+
+def _mask(level: int, size: int, row0, col0, h: int, w: int, dtype):
+    """Zero-mask for level-`level` features outside the image extent.
+
+    Feature (li, lj) of the level buffer sits at padded coord
+    (row0 + level + li, col0 + level + lj); valid image coords are
+    [HALO, HALO + h) x [HALO, HALO + w).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0) + row0 + level
+    cols = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1) + col0 + level
+    ok = (rows >= HALO) & (rows < HALO + h) & (cols >= HALO) & (cols < HALO + w)
+    return ok.astype(dtype)[:, :, None]
+
+
+def _rdb_kernel(h: int, w: int, tile: int, gc: int, nc: int,
+                x_ref, wx, w1, w2, w3, w4, b_ref, out_ref, xbuf, sem):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    row0 = ti * tile
+    col0 = tj * tile
+    s = tile + 2 * HALO
+    s_buf = _round8(s)  # Mosaic DMA slices need 8-aligned extents
+
+    # channels are zero-padded to the 128-lane tile on the host: Mosaic
+    # cannot slice sub-128 channel extents out of HBM/VMEM memrefs
+    copy = pltpu.make_async_copy(
+        x_ref.at[bi, pl.ds(row0, s_buf), pl.ds(col0, s_buf), :], xbuf, sem
+    )
+    copy.start()
+    copy.wait()
+
+    x = xbuf[:][:s, :s, :nc]
+    dt = x.dtype
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, v * 0.2)
+
+    bvec = b_ref[:]  # (1, 5*gc + nc) f32: b0..b3 (gc each) then b4 (nc)
+
+    def b(k):
+        if k < 4:
+            return bvec[:, k * gc : (k + 1) * gc][0]
+        return bvec[:, 4 * gc : 4 * gc + nc][0]
+
+    p0 = _conv3x3_valid(x, wx[:])  # (s-2)^2 x (4gc+nc), f32
+    m1 = _mask(1, s - 2, row0, col0, h, w, jnp.float32)
+    x1 = (lrelu(p0[..., :gc] + b(0)) * m1).astype(dt)
+    p1 = _conv3x3_valid(x1, w1[:])
+    m2 = _mask(2, s - 4, row0, col0, h, w, jnp.float32)
+    x2 = (
+        lrelu(p0[1:-1, 1:-1, gc : 2 * gc] + p1[..., :gc] + b(1)) * m2
+    ).astype(dt)
+    p2 = _conv3x3_valid(x2, w2[:])
+    m3 = _mask(3, s - 6, row0, col0, h, w, jnp.float32)
+    x3 = (
+        lrelu(
+            p0[2:-2, 2:-2, 2 * gc : 3 * gc]
+            + p1[1:-1, 1:-1, gc : 2 * gc]
+            + p2[..., :gc]
+            + b(2)
+        )
+        * m3
+    ).astype(dt)
+    p3 = _conv3x3_valid(x3, w3[:])
+    m4 = _mask(4, s - 8, row0, col0, h, w, jnp.float32)
+    x4 = (
+        lrelu(
+            p0[3:-3, 3:-3, 3 * gc : 4 * gc]
+            + p1[2:-2, 2:-2, 2 * gc : 3 * gc]
+            + p2[1:-1, 1:-1, gc : 2 * gc]
+            + p3[..., :gc]
+            + b(3)
+        )
+        * m4
+    ).astype(dt)
+    p4 = _conv3x3_valid(x4, w4[:])
+    x5 = (
+        p0[4:-4, 4:-4, 4 * gc :]
+        + p1[3:-3, 3:-3, 3 * gc :]
+        + p2[2:-2, 2:-2, 2 * gc :]
+        + p3[1:-1, 1:-1, gc:]
+        + p4
+        + b(4)
+    )
+    center = x[HALO : HALO + tile, HALO : HALO + tile, :].astype(jnp.float32)
+    out_ref[0] = (center + 0.2 * x5).astype(dt)
+
+
+def _scatter_weights(kernels, gc: int, nc: int):
+    """Per-source weight blocks from the 5 RDB kernels (HWIO)."""
+
+    def w_src(s):
+        lo = nc + (s - 1) * gc if s >= 1 else 0
+        hi = lo + (gc if s >= 1 else nc)
+        return jnp.concatenate(
+            [kernels[j][:, :, lo:hi, :] for j in range(s, 5)], axis=-1
+        )
+
+    return tuple(w_src(s) for s in range(5))
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _fused_rdb_impl(x, kernels, biases, tile: int = 64):
+    b, h, w, nc = x.shape
+    gc = kernels[0].shape[-1]
+    assert h % tile == 0 and w % tile == 0, (h, w, tile)
+    dt = x.dtype
+    wx, w1, w2, w3, w4 = (wk.astype(dt) for wk in _scatter_weights(kernels, gc, nc))
+    bvec = jnp.concatenate([bi.astype(jnp.float32) for bi in biases])[None, :]
+    s = tile + 2 * HALO
+    s_buf = _round8(s)
+    # pad: HALO before; HALO + alignment slack after (over-fetched rows/cols
+    # beyond the halo are sliced off inside the kernel)
+    extra = s_buf - s
+    c_buf = max(128, nc)  # lane-tile channel padding
+    xp = jnp.pad(
+        x,
+        ((0, 0), (HALO, HALO + extra), (HALO, HALO + extra), (0, c_buf - nc)),
+    )
+
+    nh, nw = h // tile, w // tile
+    kernel = functools.partial(_rdb_kernel, h, w, tile, gc, nc)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nh, nw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # x stays in HBM, DMA'd
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, tile, nc), lambda bi, i, j: (bi, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, nc), dt),
+        scratch_shapes=[
+            pltpu.VMEM((s_buf, s_buf, c_buf), dt),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp, wx, w1, w2, w3, w4, bvec)
+
+
+def _scatter_reference(x, kernels, biases):
+    """The XLA scatter formulation (same math; used for the VJP)."""
+    nc = x.shape[-1]
+    gc = kernels[0].shape[-1]
+    dt = x.dtype
+    ws = [wk.astype(dt) for wk in _scatter_weights(kernels, gc, nc)]
+    bs = [bi.astype(jnp.float32) for bi in biases]
+
+    def conv(v, w):
+        return jax.lax.conv_general_dilated(
+            v, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, v * 0.2)
+
+    p0 = conv(x, ws[0]).astype(jnp.float32)
+    x1 = lrelu(p0[..., :gc] + bs[0]).astype(dt)
+    p1 = conv(x1, ws[1]).astype(jnp.float32)
+    x2 = lrelu(p0[..., gc : 2 * gc] + p1[..., :gc] + bs[1]).astype(dt)
+    p2 = conv(x2, ws[2]).astype(jnp.float32)
+    x3 = lrelu(
+        p0[..., 2 * gc : 3 * gc] + p1[..., gc : 2 * gc] + p2[..., :gc] + bs[2]
+    ).astype(dt)
+    p3 = conv(x3, ws[3]).astype(jnp.float32)
+    x4 = lrelu(
+        p0[..., 3 * gc : 4 * gc]
+        + p1[..., 2 * gc : 3 * gc]
+        + p2[..., gc : 2 * gc]
+        + p3[..., :gc]
+        + bs[3]
+    ).astype(dt)
+    p4 = conv(x4, ws[4]).astype(jnp.float32)
+    x5 = (
+        p0[..., 4 * gc :]
+        + p1[..., 3 * gc :]
+        + p2[..., 2 * gc :]
+        + p3[..., gc:]
+        + p4
+        + bs[4]
+    )
+    return (x.astype(jnp.float32) + 0.2 * x5).astype(dt)
+
+
+@jax.custom_vjp
+def fused_rdb(x, kernels, biases):
+    """One RDB5C: x (B,H,W,nc) -> (B,H,W,nc); kernels/biases are the five
+    conv params (tuples). Forward runs the Pallas kernel; backward runs the
+    VJP of the identical XLA formulation."""
+    return _fused_rdb_impl(x, tuple(kernels), tuple(biases))
+
+
+def _fwd(x, kernels, biases):
+    return fused_rdb(x, kernels, biases), (x, tuple(kernels), tuple(biases))
+
+
+def _bwd(res, g):
+    x, kernels, biases = res
+    _, vjp = jax.vjp(_scatter_reference, x, kernels, biases)
+    return vjp(g)
+
+
+fused_rdb.defvjp(_fwd, _bwd)
