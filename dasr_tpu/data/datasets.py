@@ -139,7 +139,8 @@ class DASRUnpairedDataset:
     def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng(index)
         lr_fake = read_img(self.paths_fake_lr[index])
-        lr_real = read_img(self.paths_real_lr[int(rng.integers(len(self.paths_real_lr)))])
+        self._last_real_index = int(rng.integers(len(self.paths_real_lr)))
+        lr_real = read_img(self.paths_real_lr[self._last_real_index])
         fake_w = load_ddm(self.paths_fake_w[index])
         # DDM -> fake-LR size (reference: fake_w_dataset.py:66, cv2 bilinear)
         fake_w = resize_linear(fake_w, lr_fake.shape[1], lr_fake.shape[0])
@@ -172,6 +173,107 @@ class DASRUnpairedDataset:
             "LR_fake_path": self.paths_fake_lr[index],
             "HR_path": self.paths_hr[index],
         }
+
+
+class DASRUnpairedEqDataset(DASRUnpairedDataset):
+    """'LRHR_wavelet_unpair_fake_real_w_EQ': like the DASR mode but also
+    loads per-real-LR DDMs (reference: codes/SRN/data/
+    LRHR_wavelet_unpairEq_dataset.py — DSN --including_source_ddm output)."""
+
+    def __init__(self, opt: Dict):
+        super().__init__(opt)
+        self.paths_real_w = (
+            list_images(opt["dataroot_real_weights"])
+            if opt.get("dataroot_real_weights")
+            else None
+        )
+
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng(index)
+        item = super().__getitem__(index, rng)
+        if self.paths_real_w is not None:
+            i_real = self._last_real_index % len(self.paths_real_w)
+            real_w = load_ddm(self.paths_real_w[i_real])
+            lr = item["LR_real"]
+            real_w = resize_linear(real_w, lr.shape[1], lr.shape[0])
+            item["real_w"] = real_w[: lr.shape[0], : lr.shape[1], :]
+        return item
+
+
+class MixUnpairedDataset:
+    """'LRHR_wavelet_unpair' (Mix): each index is either a pseudo-pair
+    (fake LR + DDM, name-prefixed) or a real LR with all-ones weights
+    (reference: codes/SRN/data/LRHR_wavelet_unpairMix_dataset.py:49-120)."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.scale = opt.get("scale", 4)
+        self.hr_size = opt.get("HR_size", 128)
+        self.prefix = opt.get("prefix", "fake")
+        self.paths_hr = list_images(opt["dataroot_HR"])
+        self.paths_lr = list_images(opt["dataroot_LR"])
+        self.paths_w = (
+            list_images(opt["dataroot_weights"])
+            if opt.get("dataroot_weights")
+            else None
+        )
+
+    def __len__(self):
+        return len(self.paths_lr)
+
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng(index)
+        lr_path = self.paths_lr[index]
+        lr = read_img(lr_path)
+        is_fake = self.prefix in os.path.basename(lr_path)
+        if is_fake and self.paths_w is not None:
+            hr = read_img(self.paths_hr[index % len(self.paths_hr)])
+            w = load_ddm(self.paths_w[index % len(self.paths_w)])
+            w = resize_linear(w, hr.shape[1], hr.shape[0])
+        else:
+            hr = read_img(self.paths_hr[int(rng.integers(len(self.paths_hr)))])
+            w = np.ones(hr.shape[:2] + (1,), np.float32)
+        lr_size = self.hr_size // self.scale
+        lr_c, (t, l) = _rand_crop(lr, lr_size, rng)
+        if is_fake:
+            hr = hr[
+                t * self.scale : t * self.scale + self.hr_size,
+                l * self.scale : l * self.scale + self.hr_size,
+                :,
+            ]
+            w = w[
+                t * self.scale : t * self.scale + self.hr_size,
+                l * self.scale : l * self.scale + self.hr_size,
+                :,
+            ]
+        else:
+            hr, (th, tl) = _rand_crop(hr, self.hr_size, rng)
+            w = w[th : th + self.hr_size, tl : tl + self.hr_size, :]
+        lr_c, hr, w = _augment(
+            [lr_c, hr, w], rng, self.opt.get("use_flip", True), self.opt.get("use_rot", True)
+        )
+        return {"LR": lr_c, "HR": hr, "weights": w, "is_fake": np.float32(is_fake),
+                "LR_path": lr_path}
+
+
+class TransWaveletDataset(DASRUnpairedDataset):
+    """'LRHR_Trans_Wavelet_GAN': DASR mode plus a translated reference image
+    (reference: codes/SRN/data/LRHR_Trans_Wavelet_GAN.py)."""
+
+    def __init__(self, opt: Dict):
+        super().__init__(opt)
+        self.paths_ref = (
+            list_images(opt["dataroot_ref"]) if opt.get("dataroot_ref") else None
+        )
+
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng(index)
+        item = super().__getitem__(index, rng)
+        if self.paths_ref is not None:
+            ref = read_img(self.paths_ref[int(rng.integers(len(self.paths_ref)))])
+            ref, _ = _rand_crop(ref, self.hr_size, rng)
+            item["ref"] = ref
+        return item
 
 
 class UnpairDataset(DASRUnpairedDataset):
@@ -250,10 +352,10 @@ _REGISTRY = {
     "LRHR": PairedDataset,
     "LR": LRDataset,
     "LRHR_wavelet_unpair_fake_weights_EQ": DASRUnpairedDataset,
-    "LRHR_wavelet_unpair_fake_real_w_EQ": DASRUnpairedDataset,
+    "LRHR_wavelet_unpair_fake_real_w_EQ": DASRUnpairedEqDataset,
     "LRHR_unpair": UnpairDataset,
-    "LRHR_wavelet_unpair": DASRUnpairedDataset,
-    "LRHR_Trans_Wavelet_GAN": DASRUnpairedDataset,
+    "LRHR_wavelet_unpair": MixUnpairedDataset,
+    "LRHR_Trans_Wavelet_GAN": TransWaveletDataset,
 }
 
 
