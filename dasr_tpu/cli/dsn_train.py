@@ -156,7 +156,12 @@ def main(argv=None):
             do_g = iteration % opt.gen_freq == 0
             state, metrics = trainer.train_step(state, dev, do_g=do_g, do_d=do_d)
             if writer and iteration % 50 == 0:
-                writer.write(iteration, {k: float(v) for k, v in metrics.items()})
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                # the reference asserts on NaN generator loss (DSN/train.py:262)
+                from dasr_tpu.utils.guards import check_finite
+
+                check_finite(host_metrics, iteration)
+                writer.write(iteration, host_metrics)
             if opt.debug:
                 break
         if opt.debug:

@@ -20,6 +20,8 @@ import sys
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True)
+    parser.add_argument("--profile", type=str, default=None,
+                        help="directory for a jax.profiler trace of steps 10-20")
     args = parser.parse_args(argv)
 
     from dasr_tpu.utils.runtime import setup_runtime
@@ -35,6 +37,7 @@ def main(argv=None):
     from dasr_tpu.data.pipeline import Loader
     from dasr_tpu.eval.evaluate import sr_metrics, to_uint8
     from dasr_tpu.models.registry import create_model
+    from dasr_tpu.utils import guards
     from dasr_tpu.utils.metrics_writer import MetricsWriter
 
     opt = parse_srn_options(args.opt, is_train=True)
@@ -108,9 +111,16 @@ def main(argv=None):
             if current_step >= niter:
                 break
             current_step += 1
+            if args.profile and current_step == start_iter + 10:
+                profiler_cm = guards.profile(args.profile)
+                profiler_cm.__enter__()
             metrics = model.train_step(batch)
+            if args.profile and current_step == start_iter + 20:
+                profiler_cm.__exit__(None, None, None)
+                logger.info(f"wrote profiler trace to {args.profile}")
 
             if current_step % print_freq == 0:
+                guards.check_finite(metrics, current_step)
                 msg = f"<epoch:{epoch:3d}, iter:{current_step:8,d}> " + ", ".join(
                     f"{k.split('/')[-1]}: {v:.4e}" for k, v in metrics.items()
                 )
