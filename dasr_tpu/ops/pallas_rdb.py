@@ -19,6 +19,13 @@ per spatial tile with every intermediate resident in VMEM:
 Training uses ``fused_rdb`` through a custom VJP whose backward runs the
 mathematically-identical XLA scatter path, so gradients are exact without a
 hand-written backward kernel.
+
+STATUS: experimental. The kernel passes Mosaic verification and interpret-
+mode parity tests, but Mosaic compilation of the 45 odd-shaped matmul/slice
+ops takes tens of minutes through this environment's remote-compile tunnel,
+so the production RDB path remains the XLA scatter formulation
+(dasr_tpu.nn.blocks.RDB5C). Enable by calling ``fused_rdb`` directly once a
+pre-warmed compilation cache is available.
 """
 
 from __future__ import annotations
@@ -153,8 +160,8 @@ def _scatter_weights(kernels, gc: int, nc: int):
     return tuple(w_src(s) for s in range(5))
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def _fused_rdb_impl(x, kernels, biases, tile: int = 64):
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _fused_rdb_impl(x, kernels, biases, tile: int = 64, interpret: bool = False):
     b, h, w, nc = x.shape
     gc = kernels[0].shape[-1]
     assert h % tile == 0 and w % tile == 0, (h, w, tile)
@@ -195,6 +202,7 @@ def _fused_rdb_impl(x, kernels, biases, tile: int = 64):
             pltpu.VMEM((s_buf, s_buf, c_buf), dt),
             pltpu.SemaphoreType.DMA,
         ],
+        interpret=interpret,
     )(xp, wx, w1, w2, w3, w4, bvec)
 
 
