@@ -178,6 +178,36 @@ def main(argv=None):
                 writer.write(iteration, {"val/psnr_vs_bicubic": float(np.mean(psnrs))})
             print(f"[epoch {epoch}] val PSNR vs bicubic: {np.mean(psnrs):.3f} dB")
 
+        if (
+            opt.saving
+            and val_set is not None
+            and epoch % opt.val_img_interval == 0
+        ):
+            # image dumps: [fake | bicubic | high-freq maps] per val image
+            # (reference: DSN/train.py:295-354 TB image grids)
+            import jax.numpy as jnp
+
+            from dasr_tpu.data.io import save_img
+            from dasr_tpu.ops.filters import filter_high
+
+            img_dir = os.path.join(save_path, "val_images", str(epoch))
+            for i in range(min(len(val_set), 4)):
+                item = val_set[i]
+                fake = np.asarray(
+                    trainer.generate(state.g.params, item["input"][None])[0]
+                )
+                hf = np.asarray(
+                    filter_high(
+                        jnp.asarray(fake)[None],
+                        kernel_size=opt.kernel_size,
+                        include_pad=False,
+                        gaussian=(opt.filter == "gau"),
+                    )[0]
+                )
+                save_img(fake, os.path.join(img_dir, f"{i}_fake.png"))
+                save_img(hf, os.path.join(img_dir, f"{i}_fake_hf.png"))
+                save_img(item["bicubic"], os.path.join(img_dir, f"{i}_bicubic.png"))
+
         if opt.saving and epoch % opt.save_model_interval == 0:
             save_checkpoint(ckpt_dir, state, iteration)
             print(f"[epoch {epoch}] checkpoint @ iter {iteration}")

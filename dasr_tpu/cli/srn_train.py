@@ -132,6 +132,10 @@ def main(argv=None):
                     model, val_set, opt, current_step, logger, writer, lpips_fn
                 )
 
+            tsample_freq = int(opt.get("save_tsamples") or 0)
+            if val_set is not None and tsample_freq and current_step % tsample_freq == 0:
+                _save_tsamples(model, val_set, opt, current_step)
+
             if current_step % save_freq == 0:
                 logger.info("Saving models and training states.")
                 model.save(opt["path"]["training_state"], current_step)
@@ -141,6 +145,30 @@ def main(argv=None):
     logger.info("Saving the final model.")
     model.save(opt["path"]["training_state"], current_step)
     logger.info("End of training.")
+
+
+def _save_tsamples(model, val_set, opt, step):
+    """Fixed-image SR + high-frequency dumps (reference: SRN/train.py:124-170):
+    the same first val images every time, plus their gaussian high-pass maps,
+    for eyeballing texture-GAN progress."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dasr_tpu.data.io import save_img
+    from dasr_tpu.ops.filters import filter_high
+
+    out_dir = os.path.join(opt["path"]["experiments_root"], "tsamples")
+    for i in range(min(2, len(val_set))):
+        data = val_set[i]
+        sr = model.test(data["LR"])
+        hf = np.asarray(filter_high(jnp.asarray(sr)[None], gaussian=True)[0])
+        save_img(sr, os.path.join(out_dir, f"{i}_{step}_SR.png"))
+        save_img(hf, os.path.join(out_dir, f"{i}_{step}_SR_hf.png"))
+        if "HR" in data:
+            gt_hf = np.asarray(
+                filter_high(jnp.asarray(data["HR"])[None], gaussian=True)[0]
+            )
+            save_img(gt_hf, os.path.join(out_dir, f"{i}_HR_hf.png"))
 
 
 def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
