@@ -224,4 +224,6 @@ class DSNTrainer:
         )
 
     def generate(self, params_g, x):
-        return self.g_model.apply(params_g, x)
+        if not hasattr(self, "_jit_generate"):
+            self._jit_generate = jax.jit(self.g_model.apply)
+        return self._jit_generate(params_g, x)
