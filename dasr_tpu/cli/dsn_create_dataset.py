@@ -39,6 +39,9 @@ def build_argparser():
     p.add_argument("--name", type=str, default="0603_DSN_LRs")
     p.add_argument("--dataset", type=str, default="aim2019")
     p.add_argument("--including_source_ddm", action="store_true")
+    p.add_argument("--no_ddm", action="store_true",
+                   help="legacy FSSR mode: generate LRs only, no DDMs "
+                        "(reference: codes/DSN/create_dataset.py)")
     p.add_argument("--upscale_factor", type=int, default=4, choices=[4, 1, 2])
     p.add_argument("--paths_yml", type=str, default=None,
                    help="dataset registry (defaults to the repo's paths.yml)")
@@ -174,7 +177,8 @@ def main(argv=None):
         fake = run_g(hr)
         base = os.path.basename(path)
         save_img(fake, os.path.join(img_dir, base))
-        np.save(os.path.join(ddm_t_dir, base.split(".")[0]), ddm_for(fake))
+        if not opt.no_ddm:
+            np.save(os.path.join(ddm_t_dir, base.split(".")[0]), ddm_for(fake))
         if (i + 1) % 50 == 0 or i == len(target_files) - 1:
             print(f"[target {i + 1}/{len(target_files)}]")
 

@@ -60,6 +60,11 @@ def main(argv=None):
             base = os.path.splitext(os.path.basename(data["LR_path"]))[0]
             save_img(sr, os.path.join(dataset_dir, base + ".png"))
 
+            # DePatch realness-map dump (reference: SRN/test.py:44-46,77-79)
+            if opt.get("save_RealorFake") and hasattr(model, "realness_map"):
+                rmap = model.realness_map(data["LR"])
+                np.save(os.path.join(dataset_dir, base + "_ddm"), rmap[None, None])
+
             if "HR" in data:
                 m = sr_metrics(
                     to_uint8(sr), to_uint8(data["HR"]), opt.get("scale", 4), lpips_fn

@@ -209,12 +209,27 @@ class DSNTrainer:
                 optax.apply_updates(state.d_target.params, updates), opt_d
             )
 
+        # rgb/mean diagnostics: L1 between per-image spatial means, so the
+        # differing fake-LR / input-HR sizes don't matter (reference:
+        # DSN/loss.py:97-101, logged at DSN/train.py:270-276 against input)
+        fake32 = fake.astype(jnp.float32)
+        ref32 = batch["input"].astype(jnp.float32)
+        rgb_loss = jnp.mean(
+            jnp.abs(jnp.mean(fake32, axis=(1, 2)) - jnp.mean(ref32, axis=(1, 2)))
+        )
+        mean_loss = jnp.mean(
+            jnp.abs(
+                jnp.mean(fake32, axis=(1, 2, 3)) - jnp.mean(ref32, axis=(1, 2, 3))
+            )
+        )
         metrics = {
             "loss/g_overall_loss": g_loss,
             "loss/color_loss": l_col,
             "loss/g_tex_loss": l_tex,
             "loss/perceptual_loss": l_per,
             "loss/d_tex_loss": d_loss,
+            "loss/rgb_loss": rgb_loss,
+            "loss/mean_loss": mean_loss,
             "disc_score/real": d_real,
             "disc_score/fake": d_fake,
         }
