@@ -10,3 +10,4 @@ from dasr_tpu.ops.filters import (  # noqa: F401
 from dasr_tpu.ops.metrics import calculate_psnr, calculate_ssim, bgr2ycbcr, rgb2ycbcr  # noqa: F401
 from dasr_tpu.ops.rf_splat import receptive_field, ddm_splat  # noqa: F401
 from dasr_tpu.ops.tiled import tiled_apply, forward_chop  # noqa: F401
+from dasr_tpu.ops.spatial_shard import spatially_sharded_apply  # noqa: F401
