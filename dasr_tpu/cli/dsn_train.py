@@ -215,6 +215,12 @@ def main(argv=None):
         if opt.debug and epoch >= start_epoch + 1:
             break
 
+    if opt.saving:
+        # always leave a final checkpoint (the reference's last_iteration.tar
+        # equivalent) so downstream stages never depend on the save interval
+        save_checkpoint(ckpt_dir, state, iteration)
+        print(f"[final] checkpoint @ iter {iteration}")
+
 
 if __name__ == "__main__":
     main()
