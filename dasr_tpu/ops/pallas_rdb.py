@@ -23,6 +23,13 @@ tile with every intermediate resident in VMEM:
 Training uses ``fused_rdb`` through a custom VJP whose backward runs the
 mathematically-identical XLA scatter path, so gradients are exact without a
 hand-written backward kernel.
+
+STATUS (v5e, measured): compiles in ~27 s, bf16-exact vs the scatter path,
+but runs ~6.1 ms per RDB at batch16 128^2 vs ~2 ms for the XLA scatter
+formulation — XLA's conv fusion currently wins, so the production trunk
+(nn.blocks.RDB5C) keeps the scatter path and this kernel is an opt-in
+baseline for future kernel work (double-buffered DMA, multi-tile programs,
+8-aligned level grids are the known next steps).
 """
 
 from __future__ import annotations
