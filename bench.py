@@ -39,7 +39,7 @@ def main():
     model = RRDBNet(nf=64, nb=23, gc=32, upscale=4, dtype=jnp.bfloat16)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
 
-    batch, tile, n_loop = 16, 128, 5
+    batch, tile, n_loop = 8, 128, 5
 
     def looped(v, x):
         def body(_, acc):
