@@ -145,6 +145,43 @@ class AdaptiveModule(nn.Module):
         return m * real + (1 - m) * fake
 
 
+class RRDBCatInput(nn.Module):
+    """RRDB whose input is concatenated with a conditioning tensor before
+    each RDB (block.py:311-333 'RRDB_catInput')."""
+
+    nc: int = 64
+    gc: int = 32
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, cond):
+        out = x
+        for _ in range(3):
+            merged = conv_block(self.nc, 3, act_type="leakyrelu", dtype=self.dtype)(
+                jnp.concatenate([out, cond], axis=-1)
+            )
+            out = RDB5C(nc=self.nc, gc=self.gc, dtype=self.dtype)(merged)
+        return out * 0.2 + x
+
+
+class RRDBWithFeatureOut(nn.Module):
+    """RRDB that also emits a compressed 1x1-conv feature tap, accumulated
+    along the conditioning stream (block.py:648-... 'RRDB_w_out')."""
+
+    nc: int = 64
+    gc: int = 32
+    tap_ch: int = 16
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, feature_stream):
+        out = RDB5C(nc=self.nc, gc=self.gc, dtype=self.dtype)(x)
+        out = RDB5C(nc=self.nc, gc=self.gc, dtype=self.dtype)(out)
+        out = RDB5C(nc=self.nc, gc=self.gc, dtype=self.dtype)(out)
+        tap = conv_block(self.tap_ch, 1, act_type="leakyrelu", dtype=self.dtype)(out)
+        return out * 0.2 + x, jnp.concatenate([feature_stream, tap], axis=-1)
+
+
 class CALayer(nn.Module):
     """Channel attention (RCAN; block.py:644-668)."""
 

@@ -96,3 +96,20 @@ def test_feature_extractors_and_cyclegan():
     g = ResnetGenerator(n_blocks=2)
     vg = g.init(jax.random.key(0), x)
     assert g.apply(vg, x).shape == (1, 32, 32, 3)
+
+
+def test_rrdb_cat_input_and_feature_out():
+    from dasr_tpu.nn.adaptive_blocks import RRDBCatInput, RRDBWithFeatureOut
+
+    x = jnp.zeros((1, 8, 8, 32))
+    cond = jnp.zeros((1, 8, 8, 4))
+    m = RRDBCatInput(nc=32, gc=16)
+    v = m.init(jax.random.key(0), x, cond)
+    assert m.apply(v, x, cond).shape == x.shape
+
+    stream = jnp.zeros((1, 8, 8, 8))
+    m2 = RRDBWithFeatureOut(nc=32, gc=16, tap_ch=16)
+    v2 = m2.init(jax.random.key(0), x, stream)
+    out, new_stream = m2.apply(v2, x, stream)
+    assert out.shape == x.shape
+    assert new_stream.shape == (1, 8, 8, 24)
