@@ -193,8 +193,12 @@ class SRModel(_InferenceMixin):
             nb = (self.opt.get("network_G") or {}).get("nb", 23)
             self.params = checkpoints.import_rrdbnet_params(path, nb=nb)
         else:
-            template = self.params
-            self.params, _ = checkpoints.restore_checkpoint(path, template)
+            restored, _ = checkpoints.restore_checkpoint(path)
+            # save() writes the variables dict directly; DSN-style full
+            # states keep the generator under "g"
+            if isinstance(restored, dict) and "g" in restored:
+                restored = restored["g"]
+            self.params = restored
         if self.opt_state is None:
             self.opt_state = self.tx.init(self.params)
         return self
@@ -257,7 +261,7 @@ class SRModel(_InferenceMixin):
 
     def save(self, ckpt_dir: str, iter_step: int):
         checkpoints.save_checkpoint(
-            os.path.join(ckpt_dir, "G"), {"params": self.params}, iter_step
+            os.path.join(ckpt_dir, "G"), self.params, iter_step
         )
 
 

@@ -185,12 +185,24 @@ class DSNTrainer:
         )(state.g.params)
 
         # --- D gradient on the same (pre-update) params, detached fake ---
+        fake_det = jax.lax.stop_gradient(fake)
+
         def d_loss_fn(params_d):
-            real_tex, fake_tex = d_scores(params_d, jax.lax.stop_gradient(fake))
-            return dsn_discriminator_loss(real_tex, fake_tex, wasserstein=c.wgan), (
-                jnp.mean(real_tex),
-                jnp.mean(fake_tex),
-            )
+            real_tex, fake_tex = d_scores(params_d, fake_det)
+            gp = 0.0
+            if c.wgan:
+                # WGAN-GP: one uniform scalar mixes real/fake, penalty
+                # 10*(||grad|| - 1)^2 (reference: DSN/train.py:229-236)
+                from dasr_tpu.losses.gan import gradient_penalty
+
+                key = jax.random.fold_in(jax.random.key(0), state.step)
+                gp = 10.0 * gradient_penalty(
+                    lambda v: self.d_model.apply(params_d, v),
+                    disc_img, fake_det, key,
+                )
+            return dsn_discriminator_loss(
+                real_tex, fake_tex, wasserstein=c.wgan, grad_penalty=gp
+            ), (jnp.mean(real_tex), jnp.mean(fake_tex))
 
         (d_loss, (d_real, d_fake)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True

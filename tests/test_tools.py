@@ -113,3 +113,35 @@ def test_sr_model_x8_self_ensemble(rng):
     out = m.test_x8(lr)
     assert out.shape == (32, 32, 3)
     assert np.isfinite(out).all()
+
+
+def test_sr_model_save_load_roundtrip(tmp_path, rng):
+    from dasr_tpu.models.registry import create_model
+
+    opt = {"model": "sr", "scale": 4,
+           "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+           "train": {"lr_G": 1e-4, "lr_steps": [10]}}
+    m = create_model(opt).init(lr_size=8)
+    m.save(str(tmp_path), 7)
+    m2 = create_model(opt).init(lr_size=8)
+    m2.load_network(str(tmp_path / "G"))
+    lr = rng.random((8, 8, 3)).astype(np.float32)
+    np.testing.assert_allclose(m.test(lr), m2.test(lr), atol=1e-6)
+
+
+def test_dsn_wgan_step(rng):
+    import jax
+
+    from dasr_tpu.train.dsn_trainer import DSNConfig, DSNTrainer
+
+    cfg = DSNConfig(num_res_blocks=1, wgan=True, use_per_loss=False)
+    tr = DSNTrainer(cfg)
+    state = tr.init_state(jax.random.key(0), lr_size=16, hr_size=64)
+    batch = {
+        "input": rng.random((2, 64, 64, 3)).astype(np.float32),
+        "bicubic": rng.random((2, 16, 16, 3)).astype(np.float32),
+        "disc": rng.random((2, 16, 16, 3)).astype(np.float32),
+    }
+    state, metrics = tr.train_step(state, batch)
+    assert np.isfinite(float(metrics["loss/d_tex_loss"]))
+    assert np.isfinite(float(metrics["loss/g_tex_loss"]))
