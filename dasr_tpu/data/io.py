@@ -9,7 +9,7 @@ conversion; we convert at the boundary instead).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List
 
 import cv2
 import numpy as np

@@ -10,7 +10,7 @@ required for the <=0.02 LPIPS parity target (SURVEY.md §7 hard part #2).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -12,8 +12,6 @@ reproducing DistModel's ``clamp_weights`` (dist_model.py:125-130).
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ functional jitted steps in dasr_tpu.train.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

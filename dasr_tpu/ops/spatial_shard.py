@@ -19,7 +19,6 @@ or the image doesn't tile evenly into the batch.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
