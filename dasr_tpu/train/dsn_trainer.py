@@ -225,7 +225,10 @@ class DSNTrainer:
         # differing fake-LR / input-HR sizes don't matter (reference:
         # DSN/loss.py:97-101, logged at DSN/train.py:270-276 against input)
         fake32 = fake.astype(jnp.float32)
-        ref32 = batch["input"].astype(jnp.float32)
+        # DSGAN mode reassigns input_img = bicubic (DSN/train.py:216)
+        ref32 = (
+            batch["bicubic"] if c.generator == "DSGAN" else batch["input"]
+        ).astype(jnp.float32)
         rgb_loss = jnp.mean(
             jnp.abs(jnp.mean(fake32, axis=(1, 2)) - jnp.mean(ref32, axis=(1, 2)))
         )

@@ -109,3 +109,21 @@ def test_srn_step_sharded_matches_single_device(rng):
     np.testing.assert_allclose(
         float(m1["loss/l_g_total"]), float(m8["loss/l_g_total"]), rtol=1e-4
     )
+
+
+def test_dsn_dsgan_generator_mode(rng):
+    """DSGAN mode: G operates on the bicubic LR, target is the input
+    (reference: DSN/train.py:215-218, loss vs input_img)."""
+    from dasr_tpu.train.dsn_trainer import DSNConfig, DSNTrainer
+
+    cfg = DSNConfig(generator="DSGAN", num_res_blocks=1, use_per_loss=False)
+    tr = DSNTrainer(cfg)
+    state = tr.init_state(jax.random.key(0), lr_size=16, hr_size=64)
+    batch = {
+        "input": np.random.default_rng(0).random((2, 64, 64, 3)).astype(np.float32),
+        "bicubic": np.random.default_rng(1).random((2, 16, 16, 3)).astype(np.float32),
+        "disc": np.random.default_rng(2).random((2, 16, 16, 3)).astype(np.float32),
+    }
+    new_state, metrics = tr.train_step(state, batch)
+    assert np.isfinite(float(metrics["loss/g_overall_loss"]))
+    assert _tree_l2_diff(new_state.g.params, state.g.params) > 0
