@@ -85,13 +85,16 @@ class Loader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self._get, b))
-                    q.put(_stack(items))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self._get, b))
+                        q.put(_stack(items))
+                q.put(None)
+            except BaseException as e:  # propagate instead of hanging the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -100,6 +103,8 @@ class Loader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -97,3 +97,18 @@ def test_loader_determinism(data_root):
     l1.set_epoch(1)
     b3 = next(iter(l1))
     assert np.abs(b3["HR"] - b1["HR"]).max() > 0
+
+
+def test_loader_propagates_worker_errors(data_root):
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i, rng=None):
+            raise ValueError("broken item")
+
+    loader = Loader(Broken(), batch_size=2, num_workers=2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="broken item"):
+        next(iter(loader))

@@ -145,3 +145,34 @@ def test_dsn_wgan_step(rng):
     state, metrics = tr.train_step(state, batch)
     assert np.isfinite(float(metrics["loss/d_tex_loss"]))
     assert np.isfinite(float(metrics["loss/g_tex_loss"]))
+
+
+def test_auto_test_cli(tmp_path, rng):
+    import json
+
+    from dasr_tpu.cli import auto_test
+    from dasr_tpu.models.registry import create_model
+
+    # save one checkpoint then sweep it with a minimal test JSON
+    opt = {"model": "sr", "scale": 4,
+           "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+           "train": {"lr_G": 1e-4, "lr_steps": [10]}}
+    m = create_model(opt).init(lr_size=8)
+    models_dir = tmp_path / "models"
+    m.save(str(models_dir), 3)
+
+    lr_dir = tmp_path / "lr"
+    lr_dir.mkdir()
+    save_img(rng.random((8, 8, 3)).astype(np.float32), str(lr_dir / "x.png"))
+    cfg = {
+        "name": "sweep", "model": "sr", "scale": 4, "chop": False,
+        "datasets": {"test_1": {"name": "t", "mode": "LR",
+                                 "dataroot_LR": str(lr_dir)}},
+        "path": {"root": str(tmp_path / "out")},
+        "network_G": opt["network_G"],
+        "train": opt["train"],
+    }
+    tpl = tmp_path / "test.json"
+    tpl.write_text(json.dumps(cfg))
+    auto_test.main(["-opt", str(tpl), "--models_dir", str(models_dir / "G")])
+    assert (tmp_path / "out" / "results" / "sweep_3" / "t" / "x.png").exists()

@@ -127,3 +127,35 @@ def test_dsn_dsgan_generator_mode(rng):
     new_state, metrics = tr.train_step(state, batch)
     assert np.isfinite(float(metrics["loss/g_overall_loss"]))
     assert _tree_l2_diff(new_state.g.params, state.g.params) > 0
+
+
+def test_srn_overfits_single_batch(rng):
+    """Functional learning check: 40 steps on one batch must cut the
+    pixel loss substantially (gradients + optimizers wired correctly)."""
+    cfg = SRNConfig(nf=16, nb=1, gc=8, d_nf=16, feature_weight=0.0,
+                    gan_H_target=0.0, multiweights=False)
+    tr = SRNTrainer(cfg)
+    state = tr.init_state(jax.random.key(0), lr_size=8)
+    batch = _srn_batch(rng)
+    first = None
+    for _ in range(40):
+        state, metrics = tr.train_step(state, batch)
+        if first is None:
+            first = float(metrics["loss/l_g_pix"])
+    last = float(metrics["loss/l_g_pix"])
+    assert last < first * 0.7, (first, last)
+
+
+def test_dsn_ragan_mode(rng):
+    """RaGAN DSN: D scores are relativistic pairs (DSN/train.py:220-223)."""
+    cfg = DSNConfig(num_res_blocks=1, ragan=True, use_per_loss=False)
+    tr = DSNTrainer(cfg)
+    state = tr.init_state(jax.random.key(0), lr_size=16, hr_size=64)
+    batch = {
+        "input": jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 3)), jnp.float32),
+        "bicubic": jnp.asarray(np.random.default_rng(1).random((2, 16, 16, 3)), jnp.float32),
+        "disc": jnp.asarray(np.random.default_rng(2).random((2, 16, 16, 3)), jnp.float32),
+    }
+    new_state, metrics = tr.train_step(state, batch)
+    assert np.isfinite(float(metrics["loss/d_tex_loss"]))
+    assert _tree_l2_diff(new_state.d_target.params, state.d_target.params) > 0
