@@ -17,6 +17,9 @@ def main(argv=None):
     p.add_argument("--dir_a", "--dir_gen", dest="dir_a", required=True)
     p.add_argument("--dir_b", "--dir_gt", dest="dir_b", required=True)
     p.add_argument("--no_lpips", action="store_true")
+    p.add_argument("--border_crop", type=int, default=None,
+                   help="pixels removed at the border before metrics "
+                        "(reference: DSN/evaluate.py:19)")
     p.add_argument("--limit", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -49,8 +52,18 @@ def main(argv=None):
         h = min(a.shape[0], b.shape[0])
         w = min(a.shape[1], b.shape[1])
         a, b = a[:h, :w], b[:h, :w]
+        if args.border_crop:
+            c = args.border_crop
+            a, b = a[c:-c, c:-c], b[c:-c, c:-c]
+        # PSNR of the per-channel spatial means in [0,1]
+        # (reference: DSN/evaluate.py:45 "PSNR_col")
+        mean_a = a.astype(np.float64).mean(axis=(0, 1)) / 255.0
+        mean_b = b.astype(np.float64).mean(axis=(0, 1)) / 255.0
+        mse_col = float(np.mean((mean_a - mean_b) ** 2))
+        psnr_col = float("inf") if mse_col == 0 else 10 * np.log10(1.0 / mse_col)
         m = {
             "psnr": calculate_psnr(a.astype(float), b.astype(float)),
+            "psnr_col": psnr_col,
             "ssim": calculate_ssim(a.astype(float), b.astype(float)),
         }
         if lpips_fn is not None:

@@ -130,3 +130,16 @@ def test_lpips_zero_for_identical_and_shapes(rng):
     y = jnp.clip(x + 0.3, -1, 1)
     d_diff = m.apply(v, x, y)
     assert float(d_diff.min()) > 0
+
+
+def test_rdb5c_fused_matches_literal_chain(rng):
+    """The scatter formulation must equal the literal 5-conv chain in f32."""
+    from dasr_tpu.nn.blocks import RDB5C
+
+    x = jnp.asarray(rng.random((1, 16, 16, 32)).astype(np.float32))
+    fused = RDB5C(nc=32, gc=16, fused=True)
+    plain = RDB5C(nc=32, gc=16, fused=False)
+    v = fused.init(jax.random.key(0), x)
+    out_f = fused.apply(v, x)
+    out_p = plain.apply(v, x)  # identical param tree
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), atol=1e-5)
