@@ -31,6 +31,10 @@ RTT = 0.035  # measured tunnel round-trip for a scalar readback
 
 
 def main():
+    from dasr_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()  # persistent compile cache: first compile is minutes
+
     import jax
     import jax.numpy as jnp
 
