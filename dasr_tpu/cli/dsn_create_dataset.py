@@ -42,6 +42,11 @@ def build_argparser():
     p.add_argument("--no_ddm", action="store_true",
                    help="legacy FSSR mode: generate LRs only, no DDMs "
                         "(reference: codes/DSN/create_dataset.py)")
+    p.add_argument("--pad_bucket", type=int, default=0,
+                   help="round image sizes up to multiples of N (reflect "
+                        "pad) so distinct shapes share one compilation — "
+                        "large speedup on varied-size sets at the cost of "
+                        "tiny border deviations; 0 = exact per-shape")
     p.add_argument("--upscale_factor", type=int, default=4, choices=[4, 1, 2])
     p.add_argument("--paths_yml", type=str, default=None,
                    help="dataset registry (defaults to the repo's paths.yml)")
@@ -154,16 +159,26 @@ def main(argv=None):
     d_apply = jax.jit(d_model.apply)
     scale = opt.upscale_factor
 
+    import math
+
     def run_g(img):
+        h0, w0 = img.shape[0], img.shape[1]
         x = jnp.asarray(img)[None]
-        if x.shape[1] * x.shape[2] > 1024 * 1024:  # tile very large HRs
-            return np.asarray(
-                tiled_apply(
-                    x, lambda t: g_apply(params_g, t),
-                    scale=1.0 / scale, tile=512, halo=16 * scale,
-                )[0]
+        if opt.pad_bucket:
+            bh = math.ceil(h0 / opt.pad_bucket) * opt.pad_bucket
+            bw = math.ceil(w0 / opt.pad_bucket) * opt.pad_bucket
+            x = jnp.pad(
+                x, ((0, 0), (0, bh - h0), (0, bw - w0), (0, 0)), mode="reflect"
             )
-        return np.asarray(g_apply(params_g, x)[0])
+        if x.shape[1] * x.shape[2] > 1024 * 1024:  # tile very large HRs
+            out = tiled_apply(
+                x, lambda t: g_apply(params_g, t),
+                scale=1.0 / scale, tile=512, halo=16 * scale,
+            )
+        else:
+            out = g_apply(params_g, x)
+        out = out[0, : math.ceil(h0 / scale), : math.ceil(w0 / scale), :]
+        return np.asarray(out)
 
     def ddm_for(img_lr):
         scores = d_apply(vars_d, jnp.asarray(img_lr)[None])[0, :, :, 0]

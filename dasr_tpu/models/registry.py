@@ -134,20 +134,36 @@ def _build_d(which: str, net: Dict, opt: Dict) -> Any:
 
 
 class _InferenceMixin:
-    """Shared large-image inference honoring the reference's chop flag."""
+    """Shared large-image inference honoring the reference's chop flag.
+
+    Optional ``"pad_bucket": N`` rounds input sizes up to multiples of N
+    (reflect pad, cropped after) so varied-size test sets share one
+    compilation — interior-exact, tiny border deviations; off by default
+    for strict reference parity.
+    """
 
     def _infer(self, lr_img: np.ndarray) -> np.ndarray:
+        h0, w0 = lr_img.shape[0], lr_img.shape[1]
         x = jnp.asarray(lr_img)[None]
         scale = self.opt.get("scale", 4)
-        if self.opt.get("chop"):
-            h, w = x.shape[1], x.shape[2]
-            if h * w >= 320000:  # chop threshold (DASR_model.py:337)
-                if self.opt.get("chop_parity"):
-                    out = forward_chop(x, scale, self._apply_g, min_size=320000)
-                else:
-                    out = tiled_apply(x, self._apply_g, scale=scale, tile=128, halo=16)
-                return np.asarray(out[0])
-        return np.asarray(self._apply_g(x)[0])
+        bucket = int(self.opt.get("pad_bucket") or 0)
+        if bucket:
+            import math
+
+            bh = math.ceil(h0 / bucket) * bucket
+            bw = math.ceil(w0 / bucket) * bucket
+            x = jnp.pad(
+                x, ((0, 0), (0, bh - h0), (0, bw - w0), (0, 0)), mode="reflect"
+            )
+        if self.opt.get("chop") and h0 * w0 >= 320000:
+            # chop threshold (DASR_model.py:337)
+            if self.opt.get("chop_parity"):
+                out = forward_chop(x, scale, self._apply_g, min_size=320000)
+            else:
+                out = tiled_apply(x, self._apply_g, scale=scale, tile=128, halo=16)
+        else:
+            out = self._apply_g(x)
+        return np.asarray(out[0, : scale * h0, : scale * w0, :])
 
 
 class SRModel(_InferenceMixin):
