@@ -80,6 +80,26 @@ def _tool_gray(args):
     print("wrote grayscale images to", args.out)
 
 
+def _tool_mod_lr_bic(args):
+    """HR -> (modcropped HR, MATLAB-bicubic LR, re-upscaled Bic) triplets
+    (replaces the MATLAB codes/SRN/scripts/generate_mod_LR_bic.m)."""
+    from dasr_tpu.data.io import list_images, read_img, save_img
+    from dasr_tpu.ops.metrics import modcrop
+    from dasr_tpu.ops.resize import imresize_np
+
+    for sub in ("HR", "LR", "Bic"):
+        os.makedirs(os.path.join(args.out, sub), exist_ok=True)
+    for f in list_images(args.input_dir):
+        hr = modcrop(read_img(f), args.scale)
+        lr = imresize_np(hr, 1.0 / args.scale)
+        bic = imresize_np(lr, float(args.scale))
+        base = os.path.basename(f)
+        save_img(hr, os.path.join(args.out, "HR", base))
+        save_img(lr, os.path.join(args.out, "LR", base))
+        save_img(bic, os.path.join(args.out, "Bic", base))
+        print(base)
+
+
 def _tool_lmdb(args):
     try:
         import lmdb  # noqa: F401
@@ -131,6 +151,12 @@ def main(argv=None):
     l.add_argument("--input_dir", required=True)
     l.add_argument("--out", required=True)
     l.set_defaults(fn=_tool_lmdb)
+
+    m = sub.add_parser("generate_mod_lr_bic")
+    m.add_argument("--input_dir", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--scale", type=int, default=4)
+    m.set_defaults(fn=_tool_mod_lr_bic)
 
     args = p.parse_args(argv)
     args.fn(args)
