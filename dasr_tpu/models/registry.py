@@ -33,11 +33,14 @@ def define_G(opt: Dict) -> Any:
     which = net["which_model_G"]
     scale = opt.get("scale", 4)
     dtype = jnp.bfloat16 if opt.get("bf16", True) else None
-    if which in ("RRDB_net", "RRDB_mask", "De_RRDB"):
+    if which in ("RRDB_net", "RRDB_mask"):
+        # "fused_tail": opt-in exact phase-conv upsampling tail (ops/packed.py)
+        fused = bool(net.get("fused_tail")) and scale in (2, 4, 8)
         return RRDBNet(
             in_nc=net.get("in_nc", 3), out_nc=net.get("out_nc", 3),
             nf=net.get("nf", 64), nb=net.get("nb", 23), gc=net.get("gc", 32),
             upscale=scale, norm_type=net.get("norm_type"), dtype=dtype,
+            fused_tail=fused,
         )
     if which == "sr_resnet":
         return SRResNet(
@@ -46,11 +49,36 @@ def define_G(opt: Dict) -> Any:
             norm_type=net.get("norm_type"), mode=net.get("mode", "NAC"),
             dtype=dtype,
         )
-    if which in ("De_Resnet", "De_Resnet_bilinear", "De_Resnet2xd"):
-        return DeResnet(n_res_blocks=net.get("nb", 8), scale=scale, dtype=dtype)
+    if which in ("De_Resnet", "De_RRDB", "De_Resnet_bilinear", "De_Resnet2xd"):
+        # SRN arch.De_Resnet family (architecture.py:51-171). The reference
+        # maps De_RRDB -> arch.De_Resnet with act 'relu' (networks.py:124-127)
+        # and hardwires act 'relu' for the bilinear/2xd variants too
+        # (networks.py:113-122); plain De_Resnet takes the config act_type.
+        from dasr_tpu.nn.generators import DeResnetSRN
+
+        variant = {
+            "De_Resnet": "strided", "De_RRDB": "strided",
+            "De_Resnet_bilinear": "bilinear", "De_Resnet2xd": "x2",
+        }[which]
+        act = net.get("act_type") if which == "De_Resnet" else "relu"
+        return DeResnetSRN(
+            in_nc=net.get("in_nc", 3), out_nc=net.get("out_nc", 3),
+            nf=net.get("nf", 64), nb=net.get("nb", 8) or 8, downscale=scale,
+            norm_type=net.get("norm_type"), act_type=act,
+            mode=net.get("mode", "NAC") or "NAC", variant=variant, dtype=dtype,
+        )
     if which == "DSGAN":
         return DSGANGenerator(dtype=dtype)
-    if which in ("RRDB_Residual_conv", "RRDB_Residual_conv_concat", "RRDB_SEAN"):
+    if which == "RRDB_SEAN":
+        from dasr_tpu.nn.generators import RRDBNetSEAN
+
+        return RRDBNetSEAN(
+            in_nc=net.get("in_nc", 3), out_nc=net.get("out_nc", 3),
+            nf=net.get("nf", 64), nb=net.get("nb", 23), gc=net.get("gc", 32),
+            nb_ada=net.get("ada_nb", 1) or 1, upscale=scale,
+            norm_type=net.get("norm_type"), dtype=dtype,
+        )
+    if which in ("RRDB_Residual_conv", "RRDB_Residual_conv_concat"):
         from dasr_tpu.nn.generators import RRDBNetResidualConv
 
         return RRDBNetResidualConv(
@@ -140,7 +168,15 @@ class _InferenceMixin:
     (reflect pad, cropped after) so varied-size test sets share one
     compilation — interior-exact, tiny border deviations; off by default
     for strict reference parity.
+
+    ``chop`` semantics match the reference per-trainer: SRModel chops
+    unconditionally whenever the flag is set (codes/SRN/models/
+    SR_model.py:88-100 — size gating happens inside forward_chop); the DASR
+    trainers only chop above 320k input pixels (DASR_model.py:337), exposed
+    here as ``chop_threshold``.
     """
+
+    chop_threshold: int = 0
 
     def _infer(self, lr_img: np.ndarray) -> np.ndarray:
         h0, w0 = lr_img.shape[0], lr_img.shape[1]
@@ -155,8 +191,7 @@ class _InferenceMixin:
             x = jnp.pad(
                 x, ((0, 0), (0, bh - h0), (0, bw - w0), (0, 0)), mode="reflect"
             )
-        if self.opt.get("chop") and h0 * w0 >= 320000:
-            # chop threshold (DASR_model.py:337)
+        if self.opt.get("chop") and h0 * w0 >= self.chop_threshold:
             if self.opt.get("chop_parity"):
                 out = forward_chop(x, scale, self._apply_g, min_size=320000)
             else:
@@ -284,6 +319,8 @@ class SRModel(_InferenceMixin):
 class DASRModel(_InferenceMixin):
     """'DASR' — the paper's SRN trainer, wrapping dasr_tpu.train.SRNTrainer."""
 
+    chop_threshold = 320000  # DASR_model.py:337
+
     def __init__(self, opt: Dict, mesh=None):
         self.opt = opt
         train = opt.get("train") or {}
@@ -329,7 +366,8 @@ class DASRModel(_InferenceMixin):
         return self
 
     def load(self):
-        path = (self.opt.get("path") or {}).get("pretrain_model_G")
+        paths = self.opt.get("path") or {}
+        path = paths.get("pretrain_model_G")
         if path:
             if path.endswith(".pth"):
                 params = checkpoints.import_rrdbnet_params(
@@ -339,7 +377,79 @@ class DASRModel(_InferenceMixin):
             else:
                 restored, _ = checkpoints.restore_checkpoint(path, self.state)
                 self.state = restored
+        # reference *_D_target/_D_source.pth (NLayer patch D) — check_resume
+        # writes these paths (options.py:107-122); base_model loads them in
+        # DASR_model.py:153-158
+        n_layers = self.trainer.cfg.d_n_layers
+        for key, attr in (
+            ("pretrain_model_D_target", "d_target"),
+            ("pretrain_model_D_source", "d_source"),
+        ):
+            dpath = paths.get(key)
+            if dpath and dpath.endswith(".pth") and getattr(self.state, attr) is not None:
+                dparams = checkpoints.import_nlayer_d_params(dpath, n_layers=n_layers)
+                net = getattr(self.state, attr).replace(params=dparams)
+                self.state = self.state.replace(**{attr: net})
+        # reference {iter}.state: optimizers [G, D_target, (D_source)] + iter
+        rstate = paths.get("resume_state")
+        if rstate and rstate.endswith(".state"):
+            self.resume_reference_state(rstate)
         return self
+
+    def resume_reference_state(self, path: str):
+        """Resume mid-flight from a reference ``{iter}.state`` torch pickle
+        (base_model.py:76-86): restores Adam moments/steps for G, D_target
+        and (when configured) D_source, plus the iteration counter."""
+        st = checkpoints.load_reference_training_state(path)
+        opts = list(st.get("optimizers", []))
+        nb = (self.opt.get("network_G") or {}).get("nb", 23)
+        gmap = checkpoints.rrdbnet_key_map(nb)
+        dmap = checkpoints.nlayer_d_key_map(self.trainer.cfg.d_n_layers)
+        nets = [("g", gmap), ("d_target", dmap), ("d_source", dmap)]
+        for (attr, kmap), osd in zip(nets, opts):
+            net = getattr(self.state, attr)
+            if net is None:
+                continue
+            tx = self.trainer.tx_g if attr == "g" else self.trainer.tx_d
+            new_opt = checkpoints.import_adam_state(
+                osd, kmap, net.params, net.opt_state
+            )
+            self.state = self.state.replace(
+                **{attr: net.replace(opt_state=new_opt)}
+            )
+        self.state = self.state.replace(step=int(st.get("iter", 0)))
+        return int(st.get("iter", 0))
+
+    def save_reference_formats(self, out_dir: str, iter_step: int):
+        """Write reference-layout ``{iter}_{G,D_target,D_source}.pth`` +
+        ``{iter}.state`` so the reference tooling (test.py, net_interp,
+        resume) can consume this framework's training runs."""
+        os.makedirs(out_dir, exist_ok=True)
+        nb = (self.opt.get("network_G") or {}).get("nb", 23)
+        gmap = checkpoints.rrdbnet_key_map(nb)
+        dmap = checkpoints.nlayer_d_key_map(self.trainer.cfg.d_n_layers)
+        checkpoints.save_reference_g_pth(
+            os.path.join(out_dir, f"{iter_step}_G.pth"), self.state.g.params, nb=nb
+        )
+        opt_sds = [
+            checkpoints.export_adam_state(self.state.g.opt_state, gmap, self.state.g.params)
+        ]
+        import torch
+
+        for attr, label in (("d_target", "D_target"), ("d_source", "D_source")):
+            net = getattr(self.state, attr)
+            if net is None:
+                continue
+            sd = checkpoints.export_params_to_state_dict(net.params, dmap)
+            torch.save(sd, os.path.join(out_dir, f"{iter_step}_{label}.pth"))
+            opt_sds.append(
+                checkpoints.export_adam_state(net.opt_state, dmap, net.params)
+            )
+        checkpoints.save_reference_training_state(
+            os.path.join(out_dir, f"{iter_step}.state"),
+            epoch=0, it=iter_step, optimizer_sds=opt_sds,
+        )
+        return out_dir
 
     def _apply_g(self, x):
         if self._jit_apply is None:
@@ -467,7 +577,9 @@ class DegradationModel(_InferenceMixin):
             pixel_weight=train.get("pixel_weight", 1.0),
             dtype=jnp.bfloat16 if opt.get("bf16", True) else None,
         )
-        self.trainer = DegradationTrainer(cfg)
+        # generator from the factory so De_Resnet/De_RRDB configs build the
+        # SRN arch.De_Resnet family (networks.py:106-127), not the DSN net
+        self.trainer = DegradationTrainer(cfg, g_model=define_G(opt))
         self.state = None
         self._jit_apply = None
 
@@ -500,6 +612,8 @@ class DegradationModel(_InferenceMixin):
 
 class DASRAdaptiveModel(_InferenceMixin):
     """'DASR_Adaptive_Model' — online-DDM DASR variant."""
+
+    chop_threshold = 320000  # DASR_Adaptive_model.py chop gate
 
     def __init__(self, opt: Dict, mesh=None):
         from dasr_tpu.train.dasr_adaptive_trainer import (
@@ -621,7 +735,9 @@ class DePatchModel(_InferenceMixin):
             ragan=bool(train.get("ragan", False)),
             dtype=jnp.bfloat16 if opt.get("bf16", True) else None,
         )
-        self.trainer = DePatchTrainer(cfg, lpips_variables=_default_lpips_variables())
+        self.trainer = DePatchTrainer(
+            cfg, lpips_variables=_default_lpips_variables(), g_model=define_G(opt)
+        )
         self.state = None
         self._jit_apply = None
 

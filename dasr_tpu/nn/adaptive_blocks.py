@@ -81,6 +81,14 @@ class SEANModule(nn.Module):
 
         f_rep_gamma = run(rep_gamma_stack, rep)
         f_rep_beta = f_rep_gamma  # reference quirk (block.py:588)
+        # The reference allocates a separate f_conv_rep_beta stack that the
+        # quirk above leaves unused (block.py:574-575,588). Declare the same
+        # parameters (no compute) so param counts and checkpoint layouts
+        # match the published state dicts exactly.
+        from dasr_tpu.nn.blocks import _ConvBlockParams
+
+        for i in range(2):
+            _ConvBlockParams(self.nf, self.nf, name=f"rep_beta_dormant_{i}")()
         d = conv_block(self.nf, 3, **kw)(ddm)
         f_ddm_gamma = run([conv_block(self.nf, 3, **kw) for _ in range(2)], d)
         f_ddm_beta = run([conv_block(self.nf, 3, **kw) for _ in range(2)], d)

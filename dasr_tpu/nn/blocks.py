@@ -41,6 +41,33 @@ class ResidualBlock(nn.Module):
         return x + r
 
 
+class ResNetBlock(nn.Module):
+    """EDSR-style 3-3 residual block (reference: codes/SRN/models/modules/
+    block.py:221-251): conv_block(act) -> conv_block(act=None in CNA mode,
+    act kept in NAC mode) with additive skip scaled by ``res_scale``."""
+
+    nf: int = 64
+    norm_type: Optional[str] = None
+    act_type: Optional[str] = "relu"
+    mode: str = "NAC"
+    res_scale: float = 1.0
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        r = conv_block(
+            self.nf, 3, norm_type=self.norm_type, act_type=self.act_type,
+            mode=self.mode, dtype=self.dtype,
+        )(x)
+        act1 = None if self.mode in ("CNA", "CNAC") else self.act_type
+        norm1 = None if self.mode == "CNAC" else self.norm_type
+        r = conv_block(
+            self.nf, 3, norm_type=norm1, act_type=act1,
+            mode=self.mode, dtype=self.dtype,
+        )(r)
+        return x + r * self.res_scale
+
+
 def kaiming_conv_init(scale: float = 1.0):
     """torch kaiming_normal_(fan_in, leaky_relu a=0) x scale — the ESRGAN G
     init (reference: codes/SRN/models/networks.py:15-40, scale 0.1 for G)."""
@@ -123,41 +150,43 @@ class RDB5C(nn.Module):
                     out = v
             return x + out.astype(x.dtype) * 0.2
 
-        # scatter path: W_src[s] = concat over j>s of conv_j's rows for source s
-        # row ranges: source 0 = x (nc rows), source s>=1 = x_s (gc rows)
-        def w_src(s):
-            lo = nc + (s - 1) * gc if s >= 1 else 0
-            hi = lo + (gc if s >= 1 else nc)
-            blocks = [kernels[j][:, :, lo:hi, :] for j in range(s, 5)]
-            return jnp.concatenate(blocks, -1)
+        # grouped-scatter path. The plain per-source scatter leaves four
+        # cin=gc(=32) convs which the v5e XLA conv emitter runs at 45-58
+        # TFLOP/s (vs 186+ for cin>=64 — measured, tools/probe_conv.py).
+        # Regrouping the SAME contributions by source *pairs* keeps every
+        # remaining conv at cin>=2*gc with zero extra FLOPs:
+        #   P0  = conv(x,          rows[x]  of W1..W5)  -> 4gc+nc
+        #   c12 = conv(x1,         rows[x1] of W2)      -> gc
+        #   P12 = conv([x1,x2],    rows[x1,x2] of W3..W5) -> 2gc+nc
+        #   c34 = conv(x3,         rows[x3] of W4)      -> gc
+        #   P34 = conv([x3,x4],    rows[x3,x4] of W5)   -> nc
+        # (identical math to the dense-concat chain; bf16 differs only by
+        # summation order).
+        def rows(j, lo_src, n_src):
+            lo = nc + (lo_src - 1) * gc
+            return kernels[j][:, :, lo : lo + n_src * gc, :]
 
-        # P[s] = conv(x_s, w_src(s)); per-conv slices accumulated below
-        p0 = conv(xin, w_src(0))  # -> gc*4 + nc
+        w_p0 = jnp.concatenate(
+            [kernels[j][:, :, :nc, :] for j in range(5)], -1
+        )
+        w_c12 = rows(1, 1, 1)
+        w_p12 = jnp.concatenate([rows(j, 1, 2) for j in (2, 3, 4)], -1)
+        w_c34 = rows(3, 3, 1)
+        w_p34 = rows(4, 3, 2)
+
         b = [bi.astype(dtype) for bi in biases]
+        p0 = conv(xin, w_p0)  # -> [x1|x2|x3|x4|x5] chunks
         x1 = self._act(p0[..., :gc] + b[0])
-        p1 = conv(x1, w_src(1))  # -> gc*3 + nc
-        x2 = self._act(p0[..., gc : 2 * gc] + p1[..., :gc] + b[1])
-        p2 = conv(x2, w_src(2))  # -> gc*2 + nc
-        x3 = self._act(
-            p0[..., 2 * gc : 3 * gc] + p1[..., gc : 2 * gc] + p2[..., :gc] + b[2]
-        )
-        p3 = conv(x3, w_src(3))  # -> gc + nc
+        c12 = conv(x1, w_c12)
+        x2 = self._act(p0[..., gc : 2 * gc] + c12 + b[1])
+        p12 = conv(jnp.concatenate([x1, x2], -1), w_p12)  # -> [x3|x4|x5]
+        x3 = self._act(p0[..., 2 * gc : 3 * gc] + p12[..., :gc] + b[2])
+        c34 = conv(x3, w_c34)
         x4 = self._act(
-            p0[..., 3 * gc : 4 * gc]
-            + p1[..., 2 * gc : 3 * gc]
-            + p2[..., gc : 2 * gc]
-            + p3[..., :gc]
-            + b[3]
+            p0[..., 3 * gc : 4 * gc] + p12[..., gc : 2 * gc] + c34 + b[3]
         )
-        p4 = conv(x4, w_src(4))  # -> nc
-        x5 = (
-            p0[..., 4 * gc :]
-            + p1[..., 3 * gc :]
-            + p2[..., 2 * gc :]
-            + p3[..., gc:]
-            + p4
-            + b[4]
-        )
+        p34 = conv(jnp.concatenate([x3, x4], -1), w_p34)
+        x5 = p0[..., 4 * gc :] + p12[..., 2 * gc :] + p34 + b[4]
         return x + x5.astype(x.dtype) * 0.2
 
 
@@ -262,16 +291,70 @@ class RRDBResidualConvConcat(nn.Module):
         return out * 0.2 + res
 
 
+class _ConvParamsMirror(nn.Module):
+    """Declares nn.Conv-compatible {kernel, bias} params (same names, shapes
+    and default inits) without applying the conv — lets fused/packed apply
+    paths share one parameter tree with the plain modules."""
+
+    features: int
+    in_features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, self.in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
+class _ConvBlockParams(nn.Module):
+    """conv_block-shaped parameter shell (conv_block_N/Conv_0/{kernel,bias})."""
+
+    features: int
+    in_features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParamsMirror(
+            self.features, self.in_features, self.kernel_size, name="Conv_0"
+        )()
+
+
 class upconv(nn.Module):
-    """Nearest-neighbour x`factor` upsample + conv + act (block.py:854-861)."""
+    """Nearest-neighbour x`factor` upsample + conv + act (block.py:854-861).
+
+    ``fused=True`` (factor 2 only) computes the identical math as four 2x2
+    phase convs at the input resolution (ops/packed.py:fused_upconv2) — no
+    repeated-tensor HBM round-trip, 2.25x fewer MACs, 4x-wide channels."""
 
     out_ch: int
     factor: int = 2
     act_type: Optional[str] = "relu"
+    fused: bool = False
+    keep_packed: bool = False  # fused only: emit pack22 of the 2x output
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
+        if self.fused:
+            assert self.factor == 2, "fused upconv supports factor 2"
+            from dasr_tpu.nn.layers import act_fn
+            from dasr_tpu.ops.packed import fused_upconv2
+
+            k, b = _ConvBlockParams(
+                self.out_ch, x.shape[-1], name="conv_block_0"
+            )()
+            dtype = self.dtype or x.dtype
+            return fused_upconv2(
+                x.astype(dtype), k.astype(dtype), bias=b,
+                act=act_fn(self.act_type), unpack=not self.keep_packed,
+            )
         x = jnp.repeat(jnp.repeat(x, self.factor, axis=-3), self.factor, axis=-2)
         return conv_block(
             self.out_ch, 3, norm_type=None, act_type=self.act_type, dtype=self.dtype

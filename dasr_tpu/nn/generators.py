@@ -23,10 +23,12 @@ import math
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dasr_tpu.nn.blocks import (
     RRDB,
+    ResNetBlock,
     RRDBResidualConv,
     RRDBResidualConvConcat,
     ResidualBlock,
@@ -77,6 +79,131 @@ class DeResnet(nn.Module):
             h = PReLU()(h)
         h = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype)(h)
         return nn.sigmoid(h)
+
+
+class DeResnetSRN(nn.Module):
+    """SRN ``arch.De_Resnet`` family — HR->LR degradation nets built from
+    conv_block/ResNetBlock primitives, NO sigmoid output (unlike the DSN
+    DeResnet above).
+
+    Variants (selected by ``variant``):
+      * ``"strided"``  — arch.De_Resnet (reference: codes/SRN/models/modules/
+        architecture.py:51-75): fea conv, long-skip ResNet trunk, log2(scale)
+        stride-2 downsample convs (conv_block_downsample == conv_block with
+        stride, block.py:190-221), then two After_D conv_blocks.
+      * ``"bilinear"`` — arch.De_Resnet_bilinear (architecture.py:78-102):
+        trunk, bilinear x0.25 interpolate (align_corners=False, no
+        antialias), two After_D conv_blocks.
+      * ``"x2"``       — arch.De_Resnetdx2 (architecture.py:137-171): trunk,
+        ONE stride-2 downsample conv, two After_D conv_blocks (the
+        ``downscale`` argument is ignored by the reference too).
+    """
+
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    nb: int = 8
+    downscale: int = 4
+    norm_type: Optional[str] = "batch"
+    act_type: Optional[str] = "prelu"
+    mode: str = "NAC"
+    res_scale: float = 1.0
+    variant: str = "strided"
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        fea = conv_block(self.nf, 3, norm_type=None, act_type=None, dtype=self.dtype)(x)
+        h = fea
+        for _ in range(self.nb):
+            h = ResNetBlock(
+                self.nf, norm_type=self.norm_type, act_type=self.act_type,
+                mode=self.mode, res_scale=self.res_scale, dtype=self.dtype,
+            )(h)
+        h = conv_block(
+            self.nf, 3, norm_type=self.norm_type, act_type=None,
+            mode=self.mode, dtype=self.dtype,
+        )(h)
+        h = fea + h  # ShortcutBlock
+        if self.variant == "strided":
+            for _ in range(int(math.log2(self.downscale))):
+                h = conv_block(
+                    self.nf, 3, stride=2, norm_type=None,
+                    act_type=self.act_type, dtype=self.dtype,
+                )(h)
+        elif self.variant == "x2":
+            h = conv_block(
+                self.nf, 3, stride=2, norm_type=None,
+                act_type=self.act_type, dtype=self.dtype,
+            )(h)
+        elif self.variant == "bilinear":
+            b, hh, ww, c = h.shape
+            h = jax.image.resize(
+                h.astype(jnp.float32), (b, hh // 4, ww // 4, c), "linear",
+                antialias=False,
+            ).astype(h.dtype)
+        else:
+            raise NotImplementedError(self.variant)
+        h = conv_block(
+            self.nf, 3, norm_type=self.norm_type, act_type=None,
+            mode=self.mode, dtype=self.dtype,
+        )(h)
+        return conv_block(
+            self.out_nc, 3, norm_type=self.norm_type, act_type=None,
+            mode=self.mode, dtype=self.dtype,
+        )(h)
+
+
+class RRDBNetSEAN(nn.Module):
+    """ESRGAN generator with trailing SEAN-conditioned RRDBs
+    (reference: codes/SRN/models/modules/architecture.py:873-918).
+
+    forward(x, ddm): fea conv -> nb plain RRDBs -> nb_ada RRDB_SEAN blocks
+    (DDM-conditioned) -> LR conv -> +fea long skip -> upconv tail. The DDM
+    is a (B, h, w, 1) map at LR resolution."""
+
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    nb: int = 23
+    gc: int = 32
+    nb_ada: int = 1
+    upscale: int = 4
+    norm_type: Optional[str] = None
+    act_type: str = "leakyrelu"
+    mode: str = "CNA"
+    upsample_mode: str = "upconv"
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, ddm):
+        from dasr_tpu.nn.adaptive_blocks import RRDBSEAN
+
+        n_up = 1 if self.upscale == 3 else int(math.log2(self.upscale))
+        fea = conv_block(self.nf, 3, norm_type=None, act_type=None, dtype=self.dtype)(x)
+        h = fea
+        for _ in range(self.nb):
+            h = RRDB(
+                nc=self.nf, gc=self.gc, norm_type=self.norm_type,
+                act_type=self.act_type, mode="CNA", dtype=self.dtype,
+            )(h)
+        for _ in range(self.nb_ada):
+            h = RRDBSEAN(nc=self.nf, gc=self.gc, dtype=self.dtype)(h, ddm)
+        h = conv_block(
+            self.nf, 3, norm_type=self.norm_type, act_type=None,
+            mode=self.mode, dtype=self.dtype,
+        )(h)
+        h = fea + h
+        for _ in range(n_up):
+            factor = 3 if self.upscale == 3 else 2
+            if self.upsample_mode == "upconv":
+                h = upconv(self.nf, factor, act_type=self.act_type, dtype=self.dtype)(h)
+            else:
+                h = pixelshuffle_block(
+                    self.nf, factor, act_type=self.act_type, dtype=self.dtype
+                )(h)
+        h = conv_block(self.nf, 3, norm_type=None, act_type=self.act_type, dtype=self.dtype)(h)
+        return conv_block(self.out_nc, 3, norm_type=None, act_type=None, dtype=self.dtype)(h)
 
 
 class SRResNet(nn.Module):
@@ -170,7 +297,17 @@ class RRDBNetResidualConv(nn.Module):
 
 
 class RRDBNet(nn.Module):
-    """ESRGAN generator (architecture.py:174-205). nf=64 nb=23 gc=32 by default."""
+    """ESRGAN generator (architecture.py:174-205). nf=64 nb=23 gc=32 by default.
+
+    ``fused_tail=True`` computes the upsampling tail in phase-major packed
+    form (ops/packed.py): the two nearest-x2 upconvs become 2x2 phase convs
+    at the *input* resolution (no repeated-tensor HBM round-trip), the last
+    upconv's output stays packed, and the HR/output convs run as packed 3x3
+    convs at half their nominal resolution — where v5e conv throughput is
+    2-4x higher (large-spatial 64ch convs measured at ~45-52 TFLOP/s vs
+    88+ at small sizes). Exact same math and the SAME parameter tree
+    (apply-time weight transforms). Requires even H/W, upsample_mode
+    'upconv' and upscale in {2, 4, 8}."""
 
     in_nc: int = 3
     out_nc: int = 3
@@ -182,12 +319,23 @@ class RRDBNet(nn.Module):
     act_type: str = "leakyrelu"
     mode: str = "CNA"
     upsample_mode: str = "upconv"
+    fused_tail: bool = False
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
+        from dasr_tpu.nn.blocks import _ConvBlockParams
+        from dasr_tpu.nn.layers import act_fn
+        from dasr_tpu.ops.packed import packed_conv22, unpack22
+
+        fused = self.fused_tail
+        if fused:
+            assert self.upsample_mode == "upconv" and self.upscale in (2, 4, 8)
         n_up = 1 if self.upscale == 3 else int(math.log2(self.upscale))
-        fea = conv_block(self.nf, 3, norm_type=None, act_type=None, dtype=self.dtype)(x)
+        fea = conv_block(
+            self.nf, 3, norm_type=None, act_type=None, dtype=self.dtype,
+            name="conv_block_0",
+        )(x)
         h = fea
         for _ in range(self.nb):
             h = RRDB(
@@ -196,16 +344,36 @@ class RRDBNet(nn.Module):
             )(h)
         h = conv_block(
             self.nf, 3, norm_type=self.norm_type, act_type=None,
-            mode=self.mode, dtype=self.dtype,
+            mode=self.mode, dtype=self.dtype, name="conv_block_1",
         )(h)
         h = fea + h  # long skip (ShortcutBlock, block.py:97-111)
-        for _ in range(n_up):
+        for i in range(n_up):
             factor = 3 if self.upscale == 3 else 2
             if self.upsample_mode == "upconv":
-                h = upconv(self.nf, factor, act_type=self.act_type, dtype=self.dtype)(h)
+                h = upconv(
+                    self.nf, factor, act_type=self.act_type, dtype=self.dtype,
+                    fused=fused, keep_packed=fused and i == n_up - 1,
+                )(h)
             else:
                 h = pixelshuffle_block(
                     self.nf, factor, act_type=self.act_type, dtype=self.dtype
                 )(h)
-        h = conv_block(self.nf, 3, norm_type=None, act_type=self.act_type, dtype=self.dtype)(h)
-        return conv_block(self.out_nc, 3, norm_type=None, act_type=None, dtype=self.dtype)(h)
+        if fused:
+            # h is pack22 of the full-res feature map; run the HR and output
+            # convs packed (half their nominal spatial size) and unpack the
+            # cheap out_nc-channel result at the very end
+            dtype = self.dtype or h.dtype
+            k2, b2 = _ConvBlockParams(self.nf, self.nf, name="conv_block_2")()
+            h = packed_conv22(
+                h, k2.astype(dtype), bias=b2, act=act_fn(self.act_type)
+            )
+            k3, b3 = _ConvBlockParams(self.out_nc, self.nf, name="conv_block_3")()
+            return unpack22(packed_conv22(h, k3.astype(dtype), bias=b3))
+        h = conv_block(
+            self.nf, 3, norm_type=None, act_type=self.act_type, dtype=self.dtype,
+            name="conv_block_2",
+        )(h)
+        return conv_block(
+            self.out_nc, 3, norm_type=None, act_type=None, dtype=self.dtype,
+            name="conv_block_3",
+        )(h)

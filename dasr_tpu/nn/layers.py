@@ -113,7 +113,12 @@ class conv_block(nn.Module):
             use_bias=self.use_bias,
             dtype=self.dtype,
         )
-        act = act_fn(self.act_type)
+        if self.act_type and self.act_type.lower() == "prelu":
+            # reference block.py:20-21: nn.PReLU(num_parameters=1, init=0.2)
+            prelu = PReLU(init_slope=0.2)
+            act = lambda v: prelu(v)  # noqa: E731
+        else:
+            act = act_fn(self.act_type)
         norm = get_norm(
             self.norm_type, self.use_running_average, self.axis_name
         )

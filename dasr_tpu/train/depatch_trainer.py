@@ -60,9 +60,11 @@ class DePatchConfig:
 
 
 class DePatchTrainer:
-    def __init__(self, cfg: DePatchConfig, lpips_variables=None):
+    def __init__(self, cfg: DePatchConfig, lpips_variables=None, g_model=None):
         self.cfg = cfg
-        self.g_model = DeResnet(n_res_blocks=cfg.nb, scale=cfg.scale, dtype=cfg.dtype)
+        self.g_model = g_model or DeResnet(
+            n_res_blocks=cfg.nb, scale=cfg.scale, dtype=cfg.dtype
+        )
         # D runs on raw 9ch wavelet bands (the model DWTs explicitly), so no
         # filter front-end here
         self.d_model = FSDiscriminator(
