@@ -40,7 +40,12 @@ def main():
 
     from dasr_tpu.nn.generators import RRDBNet
 
-    model = RRDBNet(nf=64, nb=23, gc=32, upscale=4, dtype=jnp.bfloat16)
+    # fused_tail: mathematically exact phase-conv upsampling tail
+    # (ops/packed.py); trunk uses the grouped-scatter RDB formulation
+    # (nn/blocks.py) — both are apply-time rewrites of the same params
+    model = RRDBNet(
+        nf=64, nb=23, gc=32, upscale=4, dtype=jnp.bfloat16, fused_tail=True
+    )
     variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
 
     batch, tile, n_loop = 8, 128, 5
