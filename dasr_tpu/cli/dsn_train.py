@@ -31,6 +31,8 @@ def build_argparser():
     p.add_argument("--learning_rate", default=1e-4, type=float)
     p.add_argument("--adam_beta_1", default=0.5, type=float)
     p.add_argument("--val_interval", default=5, type=int)
+    p.add_argument("--val_random_crop", action="store_true",
+                   help="reference-parity random val crops (PARITY.md)")
     p.add_argument("--val_img_interval", default=5, type=int)
     p.add_argument("--save_model_interval", default=5, type=int)
     p.add_argument("--artifacts", default="tdsr", type=str)
@@ -144,7 +146,8 @@ def main(argv=None):
     val_set = None
     if valid_hr:
         val_set = DSNValDataset(valid_hr, valid_lr, crop_size=opt.crop_size_val,
-                                upscale_factor=opt.upscale_factor)
+                                upscale_factor=opt.upscale_factor,
+                                random_crop=opt.val_random_crop)
 
     iteration = 0
     for epoch in range(start_epoch, opt.num_epochs + 1):

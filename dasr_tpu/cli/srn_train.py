@@ -178,7 +178,14 @@ def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
     from dasr_tpu.eval.evaluate import average, sr_metrics, to_uint8
 
     results = []
-    n = min(len(val_set), int(opt.get("max_val_images", 8) or 8))
+    # reference validates the FULL val set (codes/SRN/train.py:174-235);
+    # max_val_images is an explicit opt-in cap and is logged when active
+    cap = opt.get("max_val_images")
+    n = min(len(val_set), int(cap)) if cap else len(val_set)
+    if n < len(val_set):
+        logger.info(
+            f"Validating {n}/{len(val_set)} images (max_val_images={cap})"
+        )
     for i in range(n):
         data = val_set[i]
         sr = model.test(data["LR"])

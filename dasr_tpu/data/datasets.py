@@ -323,25 +323,34 @@ class DSNTrainDataset:
 
 
 class DSNValDataset:
-    """DSN validation feed (codes/DSN/data_loader.py:157-190)."""
+    """DSN validation feed (codes/DSN/data_loader.py:157-190).
+
+    Default is a deterministic center crop so val PSNR is comparable across
+    epochs; ``random_crop=True`` reproduces the reference's per-epoch random
+    crop sampling (delta documented in PARITY.md "Known deltas")."""
 
     def __init__(self, hr_dir: str, lr_dir: Optional[str] = None,
-                 crop_size: int = 256, upscale_factor: int = 4):
+                 crop_size: int = 256, upscale_factor: int = 4,
+                 random_crop: bool = False):
         self.hr = list_images(hr_dir)
         self.lr = list_images(lr_dir) if lr_dir else None
         self.crop = crop_size - crop_size % upscale_factor
         self.scale = upscale_factor
+        self.random_crop = random_crop
 
     def __len__(self):
         return len(self.hr)
 
     def __getitem__(self, index: int, rng=None):
         hr = read_img(self.hr[index])
-        # deterministic center-ish crop for stable validation
         h, w = hr.shape[:2]
-        t = max(0, (h - self.crop) // 2)
-        l = max(0, (w - self.crop) // 2)
-        hr = hr[t : t + self.crop, l : l + self.crop, :]
+        if self.random_crop:
+            rng = rng or np.random.default_rng(index)
+            hr, _ = _rand_crop(hr, self.crop, rng)
+        else:
+            t = max(0, (h - self.crop) // 2)
+            l = max(0, (w - self.crop) // 2)
+            hr = hr[t : t + self.crop, l : l + self.crop, :]
         out = {"input": hr, "bicubic": imresize_np(hr, 1.0 / self.scale)}
         if self.lr:
             out["lr"] = read_img(self.lr[index % len(self.lr)])

@@ -24,7 +24,14 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map as _shard_map
+
+
+def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+    """jax.shard_map shim (the ``check_rep`` kwarg became ``check_vma``)."""
+    return _shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=check_rep
+    )
 
 
 def spatially_sharded_apply(
