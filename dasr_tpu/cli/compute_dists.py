@@ -1,4 +1,4 @@
-"""LPIPS distance CLIs (reference: codes/PerceptualSimilarity/
+"""Perceptual-distance CLIs (net-lin/net LPIPS, L2, DSSIM) (reference: codes/PerceptualSimilarity/
 compute_dists.py, compute_dists_dirs.py, compute_dists_pair.py).
 
   pair   — distance between two images
@@ -12,21 +12,18 @@ import argparse
 import os
 
 
-def _lpips_fn(net="alex"):
-    import jax
+def _dist_fn(model="net-lin", net="alex", version="0.1", backbone=None):
     import numpy as np
 
-    from dasr_tpu.losses.lpips import LPIPS
-    from dasr_tpu.models.registry import _default_lpips_variables
+    from dasr_tpu.losses.lpips import create_dist_model
 
-    lpips = LPIPS(net=net)
-    variables = _default_lpips_variables()
-    fn = jax.jit(lambda a, b: lpips.apply(variables, a, b))
+    fn = create_dist_model(model=model, net=net, version=version,
+                           backbone_path=backbone)
 
     def compute(img0_u8, img1_u8):
         a = img0_u8.astype(np.float32) / 127.5 - 1.0
         b = img1_u8.astype(np.float32) / 127.5 - 1.0
-        return float(np.asarray(fn(a[None], b[None]))[0, 0, 0, 0])
+        return float(np.asarray(fn(a[None], b[None])).reshape(-1)[0])
 
     return compute
 
@@ -44,7 +41,13 @@ def main(argv=None):
     ps = sub.add_parser("self")
     ps.add_argument("-d", "--dir", required=True)
     for s in (pp, pd, ps):
-        s.add_argument("--net", default="alex", choices=["alex", "vgg"])
+        s.add_argument("--net", default="alex",
+                       choices=["alex", "vgg", "squeeze"])
+        s.add_argument("--model", default="net-lin",
+                       choices=["net-lin", "net", "l2", "L2", "ssim", "DSSIM"])
+        s.add_argument("--version", default="0.1", choices=["0.0", "0.1"])
+        s.add_argument("--backbone", default=None,
+                       help="torchvision backbone .pth for the chosen net")
     args = p.parse_args(argv)
 
     from dasr_tpu.utils.runtime import setup_runtime
@@ -56,7 +59,7 @@ def main(argv=None):
     from dasr_tpu.data.io import list_images, read_img
     from dasr_tpu.eval.evaluate import to_uint8
 
-    compute = _lpips_fn(args.net)
+    compute = _dist_fn(args.model, args.net, args.version, args.backbone)
 
     if args.cmd == "pair":
         d = compute(to_uint8(read_img(args.path0)), to_uint8(read_img(args.path1)))

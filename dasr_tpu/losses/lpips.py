@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dasr_tpu.nn.vgg import AlexNetFeatures, VGG16Features
+from dasr_tpu.nn.vgg import AlexNetFeatures, SqueezeNetFeatures, VGG16Features
 
 Dtype = Any
 
@@ -33,7 +33,11 @@ Dtype = Any
 _SHIFT = jnp.array([-0.030, -0.088, -0.188])
 _SCALE = jnp.array([0.458, 0.448, 0.450])
 
-_CHNS = {"alex": (64, 192, 384, 256, 256), "vgg": (64, 128, 256, 512, 512)}
+_CHNS = {
+    "alex": (64, 192, 384, 256, 256),
+    "vgg": (64, 128, 256, 512, 512),
+    "squeeze": (64, 128, 256, 384, 384, 512, 512),
+}
 
 
 def _normalize(feat, eps=1e-10):
@@ -48,9 +52,11 @@ class LPIPS(nn.Module):
     to [-1,1] first (PerceptualLoss.forward semantics, models/util.py:28-40).
     """
 
-    net: str = "alex"
+    net: str = "alex"  # 'alex' | 'vgg' | 'squeeze'
     use_lins: bool = True  # 'net-lin' vs plain 'net' mode
     spatial: bool = False
+    version: str = "0.1"  # '0.0' reproduces the original release's bug:
+    # the scaling layer is skipped (networks_basic.py:66-67)
     dtype: Dtype = None
 
     @nn.compact
@@ -58,16 +64,17 @@ class LPIPS(nn.Module):
         if normalize:
             in0 = 2 * in0 - 1
             in1 = 2 * in1 - 1
-        shift = _SHIFT.astype(in0.dtype)
-        scale = _SCALE.astype(in0.dtype)
-        in0 = (in0 - shift) / scale
-        in1 = (in1 - shift) / scale
+        if self.version == "0.1":
+            shift = _SHIFT.astype(in0.dtype)
+            scale = _SCALE.astype(in0.dtype)
+            in0 = (in0 - shift) / scale
+            in1 = (in1 - shift) / scale
 
-        backbone = (
-            AlexNetFeatures(dtype=self.dtype, name="backbone")
-            if self.net == "alex"
-            else VGG16Features(dtype=self.dtype, name="backbone")
-        )
+        backbone = {
+            "alex": AlexNetFeatures,
+            "vgg": VGG16Features,
+            "squeeze": SqueezeNetFeatures,
+        }[self.net](dtype=self.dtype, name="backbone")
         # one backbone pass over both images
         both = jnp.concatenate([in0, in1], axis=0)
         taps = backbone(both)
@@ -123,7 +130,7 @@ def load_lpips_params(
 
     if lin_path and os.path.exists(lin_path):
         sd = torch.load(lin_path, map_location="cpu", weights_only=True)
-        for k in range(5):
+        for k in range(len(_CHNS[net])):
             key = f"lin{k}.model.1.weight"
             if key not in sd:  # some dumps drop the dropout index
                 key = f"lin{k}.model.0.weight"
@@ -132,24 +139,107 @@ def load_lpips_params(
 
     if backbone_path and os.path.exists(backbone_path):
         sd = torch.load(backbone_path, map_location="cpu", weights_only=True)
-        conv_ids = sorted(
-            {
-                int(k.split(".")[1])
-                for k in sd
-                if k.startswith("features.") and k.endswith(".weight") and sd[k].dim() == 4
-            }
-        )
-        stack = params["params"]["backbone"]["stack"]
-        for j, i in enumerate(conv_ids):
-            stack[f"conv{j}"]["kernel"] = _torch_conv_to_nhwc(
-                sd[f"features.{i}.weight"].numpy()
+        if net == "squeeze":
+            bb = params["params"]["backbone"]
+
+            def put(dst, prefix):
+                dst["kernel"] = _torch_conv_to_nhwc(sd[prefix + ".weight"].numpy())
+                dst["bias"] = sd[prefix + ".bias"].numpy()
+
+            put(bb["conv0"], "features.0")
+            for i in (3, 4, 6, 7, 9, 10, 11, 12):
+                for part in ("squeeze", "expand1x1", "expand3x3"):
+                    put(bb[f"fire{i}"][part], f"features.{i}.{part}")
+        else:
+            conv_ids = sorted(
+                {
+                    int(k.split(".")[1])
+                    for k in sd
+                    if k.startswith("features.") and k.endswith(".weight")
+                    and sd[k].dim() == 4
+                }
             )
-            stack[f"conv{j}"]["bias"] = sd[f"features.{i}.bias"].numpy()
+            stack = params["params"]["backbone"]["stack"]
+            for j, i in enumerate(conv_ids):
+                stack[f"conv{j}"]["kernel"] = _torch_conv_to_nhwc(
+                    sd[f"features.{i}.weight"].numpy()
+                )
+                stack[f"conv{j}"]["bias"] = sd[f"features.{i}.bias"].numpy()
 
     return jax.tree.map(jnp.asarray, params)
 
 
-def reference_lin_weights_path(net: str = "alex") -> Optional[str]:
-    """Path to the reference's bundled v0.1 lin heads, if mounted."""
-    p = f"/root/reference/codes/PerceptualSimilarity/models/weights/v0.1/{net}.pth"
+# ---------------------------------------------------------------------------
+# DistModel breadth: L2 / DSSIM fallback metrics + model factory
+# (reference: codes/PerceptualSimilarity/models/dist_model.py:40-73,
+#  networks_basic.py:150-185, models/util.py:46-53)
+# ---------------------------------------------------------------------------
+
+
+def l2_distance(in0, in1) -> jnp.ndarray:
+    """Reference DistModel 'L2' (RGB colorspace): per-image mean of the
+    squared difference of the [-1,1] tensors (networks_basic.py:150-158).
+    The 'Lab' colorspace path needs skimage (absent in this image) and is
+    documented as gated in PARITY.md."""
+    d = (jnp.asarray(in0, jnp.float32) - jnp.asarray(in1, jnp.float32)) ** 2
+    return jnp.mean(d, axis=(-3, -2, -1))
+
+
+def dssim_distance(in0, in1) -> np.ndarray:
+    """Reference DistModel 'DSSIM' (RGB): (1 - SSIM(uint8 images)) / 2
+    (models/util.py:52-53). The reference uses skimage's compare_ssim
+    (7x7 uniform window, multichannel mean); this uses the repo's
+    MATLAB-style gaussian-window SSIM averaged over channels — same
+    definition family, window choice documented in PARITY.md."""
+    from dasr_tpu.ops.metrics import calculate_ssim
+
+    def to_im(t):
+        a = (np.asarray(t, np.float32) + 1.0) / 2.0
+        return np.clip(a, 0, 1) * 255.0
+
+    a, b = to_im(in0), to_im(in1)
+    out = []
+    for i in range(a.shape[0]):
+        ss = np.mean(
+            [calculate_ssim(a[i, ..., c], b[i, ..., c]) for c in range(a.shape[-1])]
+        )
+        out.append((1.0 - ss) / 2.0)
+    return np.asarray(out)
+
+
+def create_dist_model(
+    model: str = "net-lin",
+    net: str = "alex",
+    version: str = "0.1",
+    lin_path: Optional[str] = None,
+    backbone_path: Optional[str] = None,
+    spatial: bool = False,
+):
+    """DistModel factory (dist_model.py:40-73): returns ``fn(in0, in1)`` on
+    NHWC [-1,1] arrays for 'net-lin', 'net', 'L2'/'l2', 'DSSIM'/'ssim'."""
+    low = model.lower()
+    if low in ("l2",):
+        return l2_distance
+    if low in ("dssim", "ssim"):
+        return dssim_distance
+    if low not in ("net-lin", "net"):
+        raise NotImplementedError(f"DistModel [{model}] not recognized")
+    lpips = LPIPS(net=net, use_lins=(low == "net-lin"), spatial=spatial,
+                  version=version)
+    z = jnp.zeros((1, 64, 64, 3))
+    base = lpips.init(jax.random.key(0), z, z)
+    lin = lin_path or reference_lin_weights_path(net, version=version)
+    variables = load_lpips_params(
+        net, lin_path=lin, backbone_path=backbone_path, base_params=base
+    )
+    apply = jax.jit(lpips.apply)
+    return lambda a, b: apply(variables, jnp.asarray(a), jnp.asarray(b))
+
+
+def reference_lin_weights_path(net: str = "alex", version: str = "0.1") -> Optional[str]:
+    """Path to the reference's bundled v0.0/v0.1 lin heads, if mounted."""
+    p = (
+        "/root/reference/codes/PerceptualSimilarity/models/weights/"
+        f"v{version}/{net}.pth"
+    )
     return p if os.path.exists(p) else None

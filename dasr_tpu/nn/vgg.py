@@ -96,6 +96,63 @@ class VGG16Features(nn.Module):
         return _ConvStack(tuple(_VGG16_CFG), _VGG16_TAPS, dtype=self.dtype, name="stack")(x)
 
 
+class Fire(nn.Module):
+    """SqueezeNet Fire module: 1x1 squeeze -> relu -> [1x1 | 3x3] expand
+    concat (torchvision squeezenet1_1 layout; reference slices it at
+    codes/PerceptualSimilarity/models/pretrained_networks.py:6-42)."""
+
+    squeeze_ch: int
+    expand_ch: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        s = nn.relu(nn.Conv(self.squeeze_ch, (1, 1), dtype=self.dtype,
+                            name="squeeze")(x))
+        e1 = nn.relu(nn.Conv(self.expand_ch, (1, 1), dtype=self.dtype,
+                             name="expand1x1")(s))
+        e3 = nn.relu(nn.Conv(self.expand_ch, (3, 3), padding="SAME",
+                             dtype=self.dtype, name="expand3x3")(s))
+        return jnp.concatenate([e1, e3], axis=-1)
+
+
+# (squeeze_ch, expand_ch) per Fire in torchvision squeezenet1_1.features;
+# taps follow the reference's 7 slices (after features idx 1,4,7,9,10,11,12)
+_SQUEEZE_FIRES = ((16, 64), (16, 64), (32, 128), (32, 128),
+                  (48, 192), (48, 192), (64, 256), (64, 256))
+
+
+class SqueezeNetFeatures(nn.Module):
+    """7-tap squeezenet1_1 feature pyramid (LPIPS 'squeeze')."""
+
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name="conv0")(x))
+        outs.append(x)  # slice1: features[0:2]
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = Fire(*_SQUEEZE_FIRES[0], dtype=self.dtype, name="fire3")(x)
+        x = Fire(*_SQUEEZE_FIRES[1], dtype=self.dtype, name="fire4")(x)
+        outs.append(x)  # slice2: features[2:5]
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = Fire(*_SQUEEZE_FIRES[2], dtype=self.dtype, name="fire6")(x)
+        x = Fire(*_SQUEEZE_FIRES[3], dtype=self.dtype, name="fire7")(x)
+        outs.append(x)  # slice3: features[5:8]
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = Fire(*_SQUEEZE_FIRES[4], dtype=self.dtype, name="fire9")(x)
+        outs.append(x)  # slice4: features[8:10]
+        x = Fire(*_SQUEEZE_FIRES[5], dtype=self.dtype, name="fire10")(x)
+        outs.append(x)  # slice5
+        x = Fire(*_SQUEEZE_FIRES[6], dtype=self.dtype, name="fire11")(x)
+        outs.append(x)  # slice6
+        x = Fire(*_SQUEEZE_FIRES[7], dtype=self.dtype, name="fire12")(x)
+        outs.append(x)  # slice7
+        return outs
+
+
 _IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
 _IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
 
