@@ -94,7 +94,12 @@ def main(argv=None):
 
     start_iter = 0
     if opt["path"].get("resume_state"):
-        start_iter = model.resume(opt["path"]["resume_state"])
+        rstate = opt["path"]["resume_state"]
+        if rstate.endswith(".state") and hasattr(model, "resume_reference_state"):
+            # reference {iter}.state: Adam moments + iter (base_model.py:76-86)
+            start_iter = model.resume_reference_state(rstate)
+        else:
+            start_iter = model.resume(rstate)
         logger.info(f"Resuming training from iteration: {start_iter}.")
 
     writer = MetricsWriter(os.path.join(opt["path"]["log"], "metrics.jsonl"))
@@ -139,6 +144,13 @@ def main(argv=None):
             if current_step % save_freq == 0:
                 logger.info("Saving models and training states.")
                 model.save(opt["path"]["training_state"], current_step)
+                if logger_opt.get("save_ref_formats") and hasattr(
+                    model, "save_reference_formats"
+                ):
+                    model.save_reference_formats(
+                        opt["path"].get("models", opt["path"]["training_state"]),
+                        current_step,
+                    )
         if current_step >= niter:
             break
 

@@ -424,7 +424,7 @@ def export_params_to_state_dict(variables: Dict, key_map) -> Dict[str, "Any"]:
     sd: Dict[str, Any] = {}
 
     def t(v):
-        return torch.from_numpy(np.asarray(v, dtype=np.float32))
+        return torch.from_numpy(np.array(v, dtype=np.float32, copy=True))
 
     for tkey, fpath, kind in key_map:
         if kind == "rdbconv":
@@ -658,7 +658,7 @@ def export_deresnet_state_dict(variables: Dict, n_res_blocks: int = 8,
     p = variables.get("params", variables)
 
     def t(v):
-        return torch.from_numpy(np.asarray(v, dtype=np.float32))
+        return torch.from_numpy(np.array(v, dtype=np.float32, copy=True))
 
     sd = {
         "block_input.0.weight": t(_j2t_conv(np.asarray(p["Conv_0"]["kernel"]))),
@@ -692,7 +692,7 @@ def export_fsd_state_dict(variables: Dict, norm_layer: str = "Instance") -> Dict
     p = variables["params"]["DiscriminatorBasic_0"]
 
     def t(v):
-        return torch.from_numpy(np.asarray(v, dtype=np.float32))
+        return torch.from_numpy(np.array(v, dtype=np.float32, copy=True))
 
     batch = norm_layer.lower() == "batch"
     conv_pos = (0, 2, 5, 8) if batch else (0, 2, 5, 8)
