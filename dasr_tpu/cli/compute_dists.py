@@ -28,6 +28,46 @@ def _dist_fn(model="net-lin", net="alex", version="0.1", backbone=None):
     return compute
 
 
+def _write_html_report(out_dir, files0, files1, dists, title="distances"):
+    """Side-by-side visual report (the reference bundles an HTML visualizer,
+    codes/PerceptualSimilarity/util/html.py + util/visualizer.py; this is a
+    dependency-free equivalent). Copies both image sets under ``out_dir`` and
+    emits ``index.html`` with per-pair distances, sorted worst-first."""
+    import html as _html
+    import shutil
+
+    img_dir = os.path.join(out_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rows = []
+    order = sorted(range(len(dists)), key=lambda i: -dists[i])
+    for i in order:
+        b0 = f"{i:04d}_a_{os.path.basename(files0[i])}"
+        b1 = f"{i:04d}_b_{os.path.basename(files1[i])}"
+        shutil.copyfile(files0[i], os.path.join(img_dir, b0))
+        shutil.copyfile(files1[i], os.path.join(img_dir, b1))
+        name = _html.escape(os.path.basename(files0[i]))
+        rows.append(
+            f"<tr><td>{name}</td><td>{dists[i]:.4f}</td>"
+            f'<td><img src="images/{b0}"></td>'
+            f'<td><img src="images/{b1}"></td></tr>'
+        )
+    doc = (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{_html.escape(title)}</title>"
+        "<style>img{max-width:384px} td{padding:4px;vertical-align:top}"
+        "table{border-collapse:collapse} tr:nth-child(even){background:#eee}"
+        "</style></head><body>"
+        f"<h2>{_html.escape(title)} — mean "
+        f"{sum(dists) / max(1, len(dists)):.6f}</h2>"
+        "<table><tr><th>file</th><th>dist</th><th>dir0</th><th>dir1</th></tr>"
+        + "".join(rows)
+        + "</table></body></html>"
+    )
+    with open(os.path.join(out_dir, "index.html"), "w") as f:
+        f.write(doc)
+    print(f"wrote HTML report to {os.path.join(out_dir, 'index.html')}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="LPIPS distances")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -38,6 +78,9 @@ def main(argv=None):
     pd.add_argument("-d0", "--dir0", required=True)
     pd.add_argument("-d1", "--dir1", required=True)
     pd.add_argument("-o", "--out", default=None)
+    pd.add_argument("--html", default=None,
+                    help="write a side-by-side HTML report to this directory "
+                         "(reference: PerceptualSimilarity/util/html.py)")
     ps = sub.add_parser("self")
     ps.add_argument("-d", "--dir", required=True)
     for s in (pp, pd, ps):
@@ -79,6 +122,9 @@ def main(argv=None):
         print(f"mean: {np.mean(dists):.6f}")
         if out_f:
             out_f.close()
+        if args.html:
+            _write_html_report(args.html, files0, files1, dists,
+                               title=f"{args.model}/{args.net} distances")
         return float(np.mean(dists))
     files = list_images(args.dir)
     dists = []

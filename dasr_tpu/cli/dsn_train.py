@@ -137,7 +137,16 @@ def main(argv=None):
         start_epoch = step // steps_per_epoch + 1
         print(f"Continuing training at epoch {start_epoch}")
 
-    writer = MetricsWriter(os.path.join(save_path, "metrics.jsonl")) if opt.saving else None
+    # metrics JSONL + a real TensorBoard event file (the reference writes
+    # DSN_tb_logger/<save_path>, DSN/train.py:186-191)
+    writer = (
+        MetricsWriter(
+            os.path.join(save_path, "metrics.jsonl"),
+            tb_dir=os.path.join(save_path, "tb_logger"),
+        )
+        if opt.saving
+        else None
+    )
     if opt.saving:
         os.makedirs(save_path, exist_ok=True)
         with open(os.path.join(save_path, "commandline_args.txt"), "w") as f:
@@ -210,6 +219,9 @@ def main(argv=None):
                 save_img(fake, os.path.join(img_dir, f"{i}_fake.png"))
                 save_img(hf, os.path.join(img_dir, f"{i}_fake_hf.png"))
                 save_img(item["bicubic"], os.path.join(img_dir, f"{i}_bicubic.png"))
+                if writer:
+                    writer.write_image(iteration, f"val/{i}_fake", fake)
+                    writer.write_image(iteration, f"val/{i}_fake_hf", hf)
 
         if opt.saving and epoch % opt.save_model_interval == 0:
             save_checkpoint(ckpt_dir, state, iteration)

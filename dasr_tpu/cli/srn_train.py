@@ -102,7 +102,15 @@ def main(argv=None):
             start_iter = model.resume(rstate)
         logger.info(f"Resuming training from iteration: {start_iter}.")
 
-    writer = MetricsWriter(os.path.join(opt["path"]["log"], "metrics.jsonl"))
+    # use_tb_logger mirrors scalars to a real TensorBoard event file
+    # (reference: SRN/train.py:50-52 writes ../tb_logger/<name>; here the
+    # run lives under the experiment root)
+    tb_dir = None
+    if opt.get("use_tb_logger") and "debug" not in (opt.get("name") or ""):
+        tb_dir = os.path.join(opt["path"]["experiments_root"], "tb_logger")
+    writer = MetricsWriter(
+        os.path.join(opt["path"]["log"], "metrics.jsonl"), tb_dir=tb_dir
+    )
     total_epochs = int(math.ceil(niter / max(1, len(train_loader))))
     logger.info(f"Total epochs needed: {total_epochs} for iters {niter}")
 
@@ -139,7 +147,7 @@ def main(argv=None):
 
             tsample_freq = int(opt.get("save_tsamples") or 0)
             if val_set is not None and tsample_freq and current_step % tsample_freq == 0:
-                _save_tsamples(model, val_set, opt, current_step)
+                _save_tsamples(model, val_set, opt, current_step, writer)
 
             if current_step % save_freq == 0:
                 logger.info("Saving models and training states.")
@@ -159,10 +167,11 @@ def main(argv=None):
     logger.info("End of training.")
 
 
-def _save_tsamples(model, val_set, opt, step):
+def _save_tsamples(model, val_set, opt, step, writer=None):
     """Fixed-image SR + high-frequency dumps (reference: SRN/train.py:124-170):
     the same first val images every time, plus their gaussian high-pass maps,
-    for eyeballing texture-GAN progress."""
+    for eyeballing texture-GAN progress (mirrored to TensorBoard when the
+    reference would, SRN/train.py:163-168)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -176,6 +185,9 @@ def _save_tsamples(model, val_set, opt, step):
         hf = np.asarray(filter_high(jnp.asarray(sr)[None], gaussian=True)[0])
         save_img(sr, os.path.join(out_dir, f"{i}_{step}_SR.png"))
         save_img(hf, os.path.join(out_dir, f"{i}_{step}_SR_hf.png"))
+        if writer is not None:
+            writer.write_image(step, f"tsamples/{i}_SR", np.asarray(sr))
+            writer.write_image(step, f"tsamples/{i}_SR_hf", hf)
         if "HR" in data:
             gt_hf = np.asarray(
                 filter_high(jnp.asarray(data["HR"])[None], gaussian=True)[0]

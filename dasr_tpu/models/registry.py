@@ -247,10 +247,17 @@ class SRModel(_InferenceMixin):
             self.params = checkpoints.import_rrdbnet_params(path, nb=nb)
         else:
             restored, _ = checkpoints.restore_checkpoint(path)
-            # save() writes the variables dict directly; DSN-style full
-            # states keep the generator under "g"
+            # save() writes the variables dict directly; full training
+            # states (DASR/DSN/SRGAN) keep the generator under "g", itself a
+            # TrainState-shaped {params, opt_state, extra} — unwrap both
             if isinstance(restored, dict) and "g" in restored:
                 restored = restored["g"]
+            if (
+                isinstance(restored, dict)
+                and "params" in restored
+                and "opt_state" in restored
+            ):
+                restored = restored["params"]
             self.params = restored
         if self.opt_state is None:
             self.opt_state = self.tx.init(self.params)

@@ -28,11 +28,13 @@ class SFTLayer(nn.Module):
 
     @nn.compact
     def __call__(self, fea, cond):
-        scale = nn.Conv(64, (1, 1), dtype=self.dtype)(
-            _lrelu01(nn.Conv(32, (1, 1), dtype=self.dtype)(cond))
+        # param names mirror the reference's SFT_{scale,shift}_conv{0,1}
+        # (sft_arch.py:11-14) so the .pth key map is 1:1
+        scale = nn.Conv(64, (1, 1), dtype=self.dtype, name="scale_conv1")(
+            _lrelu01(nn.Conv(32, (1, 1), dtype=self.dtype, name="scale_conv0")(cond))
         )
-        shift = nn.Conv(64, (1, 1), dtype=self.dtype)(
-            _lrelu01(nn.Conv(32, (1, 1), dtype=self.dtype)(cond))
+        shift = nn.Conv(64, (1, 1), dtype=self.dtype, name="shift_conv1")(
+            _lrelu01(nn.Conv(32, (1, 1), dtype=self.dtype, name="shift_conv0")(cond))
         )
         return fea * (scale + 1) + shift
 
@@ -42,10 +44,12 @@ class ResBlockSFT(nn.Module):
 
     @nn.compact
     def __call__(self, fea, cond):
-        h = SFTLayer(dtype=self.dtype)(fea, cond)
-        h = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype)(h))
-        h = SFTLayer(dtype=self.dtype)(h, cond)
-        h = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        h = SFTLayer(dtype=self.dtype, name="sft0")(fea, cond)
+        h = nn.relu(
+            nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv0")(h)
+        )
+        h = SFTLayer(dtype=self.dtype, name="sft1")(h, cond)
+        h = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
         return fea + h
 
 
@@ -57,29 +61,37 @@ class SFTNet(nn.Module):
     def __call__(self, img, seg):
         """img: (B,H,W,3); seg: (B,4H,4W,8) segmentation probability maps
         (the reference's CondNet downsamples 4x with a stride-4 conv)."""
-        cond = nn.Conv(128, (4, 4), strides=(4, 4), dtype=self.dtype)(seg)
+        cond = nn.Conv(
+            128, (4, 4), strides=(4, 4), dtype=self.dtype, name="cond0"
+        )(seg)
         cond = _lrelu01(cond)
-        for _ in range(3):
-            cond = _lrelu01(nn.Conv(128, (1, 1), dtype=self.dtype)(cond))
-        cond = nn.Conv(32, (1, 1), dtype=self.dtype)(cond)
+        for i in range(3):
+            cond = _lrelu01(
+                nn.Conv(128, (1, 1), dtype=self.dtype, name=f"cond{i + 1}")(cond)
+            )
+        cond = nn.Conv(32, (1, 1), dtype=self.dtype, name="cond4")(cond)
 
-        fea = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype)(img)
+        fea = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv0")(img)
         h = fea
-        for _ in range(self.n_blocks):
-            h = ResBlockSFT(dtype=self.dtype)(h, cond)
-        h = SFTLayer(dtype=self.dtype)(h, cond)
-        h = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        for i in range(self.n_blocks):
+            h = ResBlockSFT(dtype=self.dtype, name=f"block{i}")(h, cond)
+        h = SFTLayer(dtype=self.dtype, name="sft_tail")(h, cond)
+        h = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv_tail")(h)
         h = fea + h
 
         # HR branch: two pixel-shuffle x2 stages then conv head
-        for _ in range(2):
-            h = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        for i in range(2):
+            h = nn.Conv(
+                256, (3, 3), padding="SAME", dtype=self.dtype, name=f"up{i}"
+            )(h)
             b, hh, ww, cc = h.shape
             h = h.reshape(b, hh, ww, 2, 2, cc // 4)
             h = h.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh * 2, ww * 2, cc // 4)
             h = nn.relu(h)
-        h = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype)(h))
-        return nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        h = nn.relu(
+            nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="hr_conv")(h)
+        )
+        return nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype, name="out_conv")(h)
 
 
 class ACDVGGBN96(nn.Module):

@@ -100,6 +100,50 @@ def _tool_mod_lr_bic(args):
         print(base)
 
 
+_RECT_COLORS = {
+    # BGR tuples in the reference (cv2); stored here as RGB
+    "yellow": (255, 255, 0),
+    "green": (0, 255, 0),
+    "red": (255, 0, 0),
+    "magenta": (255, 0, 255),
+    "matlab_blue": (0, 114, 189),
+    "matlab_orange": (217, 83, 25),
+    "matlab_yellow": (237, 177, 32),
+    "matlab_purple": (126, 47, 142),
+    "matlab_green": (119, 172, 48),
+    "matlab_liblue": (77, 190, 238),
+    "matlab_brown": (162, 20, 47),
+}
+
+
+def _tool_enlarge_patches(args):
+    """Figure-making helper (reference: codes/SRN/scripts/
+    extract_enlarge_patches.py): crop a patch from every image, enlarge it
+    by ``ratio``, and save a copy of the original with the patch location
+    drawn as a colored rectangle."""
+    import numpy as np
+
+    from dasr_tpu.data.io import list_images, read_img, save_img
+
+    patch_dir = os.path.join(args.out, "patch")
+    rect_dir = os.path.join(args.out, "rect")
+    os.makedirs(patch_dir, exist_ok=True)
+    os.makedirs(rect_dir, exist_ok=True)
+    color = np.array(_RECT_COLORS[args.color], np.float32) / 255.0
+    h0, hl, w0, wl, lw = args.h_start, args.h_len, args.w_start, args.w_len, args.line_width
+    for f in list_images(args.input_dir):
+        img = read_img(f)
+        base = os.path.splitext(os.path.basename(f))[0]
+        patch = img[h0 : h0 + hl, w0 : w0 + wl]
+        enlarged = np.repeat(np.repeat(patch, args.ratio, 0), args.ratio, 1)
+        save_img(enlarged, os.path.join(patch_dir, f"{base}_patch.png"))
+        rect = img.copy()
+        rect[h0 - lw : h0 + hl + lw, w0 - lw : w0 + wl + lw] = color
+        rect[h0 : h0 + hl, w0 : w0 + wl] = patch
+        save_img(rect, os.path.join(rect_dir, f"{base}_rect.png"))
+        print(base)
+
+
 def _tool_lmdb(args):
     try:
         import lmdb  # noqa: F401
@@ -151,6 +195,18 @@ def main(argv=None):
     l.add_argument("--input_dir", required=True)
     l.add_argument("--out", required=True)
     l.set_defaults(fn=_tool_lmdb)
+
+    e = sub.add_parser("extract_enlarge_patches")
+    e.add_argument("--input_dir", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--h_start", type=int, default=170)
+    e.add_argument("--h_len", type=int, default=64)
+    e.add_argument("--w_start", type=int, default=232)
+    e.add_argument("--w_len", type=int, default=100)
+    e.add_argument("--ratio", type=int, default=3)
+    e.add_argument("--line_width", type=int, default=2)
+    e.add_argument("--color", default="yellow", choices=sorted(_RECT_COLORS))
+    e.set_defaults(fn=_tool_enlarge_patches)
 
     m = sub.add_parser("generate_mod_lr_bic")
     m.add_argument("--input_dir", required=True)

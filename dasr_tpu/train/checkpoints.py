@@ -735,3 +735,67 @@ def load_dsn_tar(path: str) -> Dict[str, Any]:
         if key in out:
             out[key] = {k: v.numpy() for k, v in out[key].items()}
     return out
+
+
+def import_sftnet_params(path_or_sd, n_blocks: int = 16) -> Dict[str, Any]:
+    """SFT-GAN ``SFTGAN_*.pth`` -> flax SFTNet params (nn/sft.py).
+
+    Reference module names (sft_arch.py:40-75): ``conv0``,
+    ``sft_branch.{0..15}.{sft0,sft1}.SFT_{scale,shift}_conv{0,1}`` +
+    ``sft_branch.{0..15}.conv{0,1}``, trailing ``sft_branch.16`` (SFTLayer)
+    and ``sft_branch.17`` (conv), ``HR_branch.{0,3,6,8}``,
+    ``CondNet.{0,2,4,6,8}``.
+
+    torch ``PixelShuffle(2)`` reads channels as (c, dy, dx) while the flax
+    depth-to-space reshape reads (dy, dx, c), so the two HR upsample convs'
+    output channels are permuted accordingly.
+    """
+    sd = (load_torch_state_dict(path_or_sd)
+          if isinstance(path_or_sd, str) else path_or_sd)
+
+    def conv(prefix):
+        return {
+            "kernel": _t2j_conv(sd[prefix + ".weight"]),
+            "bias": sd[prefix + ".bias"],
+        }
+
+    def conv_ps(prefix, r: int = 2):
+        # permute cout from torch's (c, dy, dx) to flax's (dy, dx, c)
+        c = conv(prefix)
+        k, b = c["kernel"], c["bias"]
+        cout = k.shape[-1]
+        cc = cout // (r * r)
+        perm = (
+            np.arange(cout)
+            .reshape(cc, r, r)
+            .transpose(1, 2, 0)
+            .reshape(-1)
+        )
+        return {"kernel": np.ascontiguousarray(k[..., perm]),
+                "bias": np.ascontiguousarray(b[perm])}
+
+    def sft_layer(prefix):
+        return {
+            "scale_conv0": conv(prefix + ".SFT_scale_conv0"),
+            "scale_conv1": conv(prefix + ".SFT_scale_conv1"),
+            "shift_conv0": conv(prefix + ".SFT_shift_conv0"),
+            "shift_conv1": conv(prefix + ".SFT_shift_conv1"),
+        }
+
+    params: Dict[str, Any] = {"conv0": conv("conv0")}
+    for i in range(n_blocks):
+        params[f"block{i}"] = {
+            "sft0": sft_layer(f"sft_branch.{i}.sft0"),
+            "conv0": conv(f"sft_branch.{i}.conv0"),
+            "sft1": sft_layer(f"sft_branch.{i}.sft1"),
+            "conv1": conv(f"sft_branch.{i}.conv1"),
+        }
+    params["sft_tail"] = sft_layer(f"sft_branch.{n_blocks}")
+    params["conv_tail"] = conv(f"sft_branch.{n_blocks + 1}")
+    params["up0"] = conv_ps("HR_branch.0")
+    params["up1"] = conv_ps("HR_branch.3")
+    params["hr_conv"] = conv("HR_branch.6")
+    params["out_conv"] = conv("HR_branch.8")
+    for i, j in enumerate((0, 2, 4, 6, 8)):
+        params[f"cond{i}"] = conv(f"CondNet.{j}")
+    return {"params": params}

@@ -103,6 +103,7 @@ def test_full_pipeline(synth_data, tmp_path):
     cfg = {
         "name": "synth_dasr",
         "model": "DASR_FS_ESRGAN_patchGAN",  # legacy alias must normalize
+        "use_tb_logger": True,
         "scale": 4,
         "chop": False,
         "val_lpips": False,
@@ -153,6 +154,9 @@ def test_full_pipeline(synth_data, tmp_path):
     state_dir = srn_root / "synth_dasr" / "training_state"
     assert state_dir.exists() and os.listdir(state_dir)
     assert (srn_root / "synth_dasr" / "val_images").exists()
+    # use_tb_logger mirrors scalars into a real TensorBoard event file
+    tb_dir = srn_root / "synth_dasr" / "tb_logger"
+    assert any(f.startswith("events.out.tfevents") for f in os.listdir(tb_dir))
 
     # --- stage 4: srn_test on the val set with the tiny trained G ---
     from dasr_tpu.cli import srn_test

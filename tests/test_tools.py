@@ -68,6 +68,29 @@ def test_misc_tools_color2gray_and_rename(tmp_path, rng):
     assert len(os.listdir(tmp_path / "gray")) == 3
 
 
+def test_misc_tools_extract_enlarge_patches(tmp_path, rng):
+    from dasr_tpu.data.io import read_img
+    from dasr_tpu.scripts import misc_tools
+
+    src = tmp_path / "ori"
+    src.mkdir()
+    img = rng.random((64, 64, 3)).astype(np.float32)
+    save_img(img, str(src / "fig.png"))
+    misc_tools.main([
+        "extract_enlarge_patches", "--input_dir", str(src),
+        "--out", str(tmp_path / "figs"), "--h_start", "10", "--h_len", "16",
+        "--w_start", "20", "--w_len", "24", "--ratio", "2",
+        "--line_width", "2", "--color", "green",
+    ])
+    patch = read_img(str(tmp_path / "figs" / "patch" / "fig_patch.png"))
+    assert patch.shape == (32, 48, 3)  # 16x24 enlarged x2
+    rect = read_img(str(tmp_path / "figs" / "rect" / "fig_rect.png"))
+    assert rect.shape == img.shape
+    # border pixels painted green, interior patch preserved
+    np.testing.assert_allclose(rect[9, 21], [0.0, 1.0, 0.0], atol=2 / 255)
+    np.testing.assert_allclose(rect[12, 22], img[12, 22], atol=2 / 255)
+
+
 def test_compute_dists_pair_cli(tmp_path, rng):
     from dasr_tpu.cli import compute_dists
 
@@ -78,6 +101,26 @@ def test_compute_dists_pair_cli(tmp_path, rng):
     d_diff = compute_dists.main(["pair", "-p0", str(tmp_path / "a.png"), "-p1", str(tmp_path / "b.png")])
     assert d_same < 1e-6
     assert d_diff > d_same
+
+
+def test_compute_dists_dirs_html_report(tmp_path, rng):
+    from dasr_tpu.cli import compute_dists
+
+    d0, d1 = tmp_path / "d0", tmp_path / "d1"
+    d0.mkdir(), d1.mkdir()
+    for i in range(2):
+        a = rng.random((16, 16, 3)).astype(np.float32)
+        save_img(a, str(d0 / f"{i}.png"))
+        save_img(np.clip(a + 0.1 * (i + 1), 0, 1), str(d1 / f"{i}.png"))
+    html_dir = tmp_path / "report"
+    mean = compute_dists.main([
+        "dirs", "-d0", str(d0), "-d1", str(d1), "--model", "l2",
+        "--html", str(html_dir),
+    ])
+    assert mean > 0
+    index = (html_dir / "index.html").read_text()
+    assert "0.png" in index and "<table>" in index
+    assert len(os.listdir(html_dir / "images")) == 4
 
 
 def test_twoafc_training_step(rng):

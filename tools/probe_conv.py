@@ -457,14 +457,14 @@ def main():
     probe("tail_x4", tail_fl, make_tail)
 
     # full model for reference
-    def make_full(fused=False, batch=B):
+    def make_full(fused=False, batch=B, scan=False, tile=S):
         def mk():
             from dasr_tpu.nn.generators import RRDBNet
 
             m = RRDBNet(nf=64, nb=23, gc=32, upscale=4, dtype=bf,
-                        fused_tail=fused)
+                        fused_tail=fused, scan_blocks=scan)
             x = jax.random.uniform(
-                jax.random.key(1), (batch, S, S, 3), jnp.float32
+                jax.random.key(1), (batch, tile, tile, 3), jnp.float32
             )
             v = m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
             return (lambda xx, vv: m.apply(vv, xx), (x, v))
@@ -473,6 +473,14 @@ def main():
     probe("rrdbnet_full", int(2.24e6 * M * 16), make_full())
     probe("rrdbnet_fused", int(2.24e6 * M * 16), make_full(fused=True))
     probe("rrdbnet_fused_b16", int(2.24e6 * 2 * M * 16), make_full(True, 16))
+    # scanned-trunk batch/tile sweep (the production bench path)
+    for b_ in (4, 8, 12, 16, 24):
+        probe(f"rrdbnet_scan_b{b_}", int(2.24e6 * (b_ / B) * M * 16),
+              make_full(fused=True, batch=b_, scan=True))
+    probe("rrdbnet_scan_b2_t256", int(2.24e6 * M * 16),
+          make_full(fused=True, batch=2, scan=True, tile=256))
+    probe("rrdbnet_scan_b32_t64", int(2.24e6 * 0.5 * M * 16),
+          make_full(fused=True, batch=32, scan=True, tile=64))
 
     def make_tail_fused():
         from dasr_tpu.nn.blocks import _ConvBlockParams, upconv
