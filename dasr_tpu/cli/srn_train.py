@@ -22,6 +22,10 @@ def main(argv=None):
     parser.add_argument("-opt", type=str, required=True)
     parser.add_argument("--profile", type=str, default=None,
                         help="directory for a jax.profiler trace of steps 10-20")
+    parser.add_argument("--steps_per_call", type=int, default=1,
+                        help="scan K train steps inside one device dispatch "
+                             "(amortizes the ~9 ms/step remote-dispatch cost; "
+                             "identical math, metrics averaged over K)")
     args = parser.parse_args(argv)
 
     from dasr_tpu.utils.runtime import setup_runtime
@@ -118,21 +122,47 @@ def main(argv=None):
     lpips_fn = _maybe_lpips(opt)
     bs = int(opt["datasets"]["train"].get("batch_size", 6) or 6)
 
+    k_steps = max(1, int(args.steps_per_call))
+    if k_steps > 1 and not getattr(model, "supports_multi_step", False):
+        logger.info(
+            "steps_per_call > 1 requires a multi-step-capable model with "
+            "G/D_update_inter == 1; falling back to per-step dispatch"
+        )
+        k_steps = 1
+
+    def crossed(freq):
+        # did [current_step - k .. current_step] cross a freq boundary?
+        return current_step // freq > (current_step - k) // freq
+
+    pending = []
     for epoch in range(total_epochs):
         train_loader.set_epoch(epoch)
         for batch in train_loader:
             if current_step >= niter:
                 break
-            current_step += 1
-            if args.profile and current_step == start_iter + 10:
+            if k_steps > 1:
+                pending.append(batch)
+                if len(pending) < k_steps and current_step + len(pending) < niter:
+                    continue
+            # profiler window: [start+10, start+20) in step numbers
+            if args.profile and current_step < start_iter + 10 <= (
+                current_step + max(1, len(pending))
+            ):
                 profiler_cm = guards.profile(args.profile)
                 profiler_cm.__enter__()
-            metrics = model.train_step(batch)
-            if args.profile and current_step == start_iter + 20:
+            if k_steps > 1:
+                k = len(pending)
+                metrics = model.train_multi_step(pending)
+                pending = []
+            else:
+                k = 1
+                metrics = model.train_step(batch)
+            current_step += k
+            if args.profile and current_step - k < start_iter + 20 <= current_step:
                 profiler_cm.__exit__(None, None, None)
                 logger.info(f"wrote profiler trace to {args.profile}")
 
-            if current_step % print_freq == 0:
+            if crossed(print_freq):
                 guards.check_finite(metrics, current_step)
                 msg = f"<epoch:{epoch:3d}, iter:{current_step:8,d}> " + ", ".join(
                     f"{k.split('/')[-1]}: {v:.4e}" for k, v in metrics.items()
@@ -140,16 +170,16 @@ def main(argv=None):
                 logger.info(msg)
                 writer.write(current_step, metrics, imgs=bs * 2 * print_freq)
 
-            if val_set is not None and current_step % val_freq == 0:
+            if val_set is not None and crossed(val_freq):
                 _validate(
                     model, val_set, opt, current_step, logger, writer, lpips_fn
                 )
 
             tsample_freq = int(opt.get("save_tsamples") or 0)
-            if val_set is not None and tsample_freq and current_step % tsample_freq == 0:
+            if val_set is not None and tsample_freq and crossed(tsample_freq):
                 _save_tsamples(model, val_set, opt, current_step, writer)
 
-            if current_step % save_freq == 0:
+            if crossed(save_freq):
                 logger.info("Saving models and training states.")
                 model.save(opt["path"]["training_state"], current_step)
                 if logger_opt.get("save_ref_formats") and hasattr(

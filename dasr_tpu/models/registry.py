@@ -481,6 +481,25 @@ class DASRModel(_InferenceMixin):
         )
         return {k: float(v) for k, v in metrics.items()}
 
+    @property
+    def supports_multi_step(self) -> bool:
+        """Multi-step scanning requires unconditional G+D updates (the DASR
+        default G_update_inter = D_update_inter = 1)."""
+        c = self.trainer.cfg
+        return c.g_update_inter == 1 and c.d_update_inter == 1
+
+    def train_multi_step(self, batches):
+        """K steps in one device dispatch (see SRNTrainer.train_multi_step).
+        ``batches``: list of K host batches; returns mean metrics over K."""
+        import numpy as np
+
+        keys = [k for k in batches[0] if isinstance(batches[0][k], np.ndarray)]
+        stacked = {
+            k: jnp.asarray(np.stack([b[k] for b in batches])) for k in keys
+        }
+        self.state, metrics = self.trainer.train_multi_step(self.state, stacked)
+        return {k: float(jnp.mean(v)) for k, v in metrics.items()}
+
     def save(self, ckpt_dir: str, iter_step: int):
         checkpoints.save_checkpoint(ckpt_dir, self.state, iter_step)
 

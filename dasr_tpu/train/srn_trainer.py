@@ -353,6 +353,31 @@ class SRNTrainer:
             frozen["vgg"] = self.vgg_variables
         return self._train_step(state, batch, frozen, do_g=do_g, do_d=do_d)
 
+    @functools.partial(jax.jit, static_argnames=("self", "do_g", "do_d"))
+    def _train_multi(self, state: GANTrainState, batches, frozen,
+                     do_g: bool = True, do_d: bool = True):
+        def body(st, bt):
+            return self._train_step(st, bt, frozen, do_g=do_g, do_d=do_d)
+
+        return jax.lax.scan(body, state, batches)
+
+    def train_multi_step(self, state: GANTrainState, batches, do_g: bool = True,
+                         do_d: bool = True):
+        """Run K train steps in ONE dispatch via lax.scan over stacked
+        batches (every leaf gains a leading K axis). Identical math to K
+        sequential ``train_step`` calls; metrics come back stacked (K,).
+
+        Motivation: through the remote-TPU tunnel a per-step dispatch costs
+        ~9 ms against ~36 ms of device work (measured, BENCH_NOTES.md) —
+        scanning K steps amortizes it to ~0.
+        """
+        frozen = {}
+        if self.cfg.feature_weight > 0 and self.cfg.feature_criterion == "LPIPS":
+            frozen["lpips"] = self.lpips_variables
+        if self.cfg.feature_weight > 0 and self.cfg.feature_criterion in ("l1", "l2"):
+            frozen["vgg"] = self.vgg_variables
+        return self._train_multi(state, batches, frozen, do_g=do_g, do_d=do_d)
+
     # -- inference --------------------------------------------------------------
 
     def sr(self, params_g, lr_img):

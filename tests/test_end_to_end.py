@@ -150,7 +150,9 @@ def test_full_pipeline(synth_data, tmp_path):
     }
     cfg_path = work / "train_synth.json"
     cfg_path.write_text(json.dumps(cfg))
-    srn_train.main(["-opt", str(cfg_path)])
+    # steps_per_call=2: scanned multi-step dispatch path (math identical;
+    # exactness is pinned in test_train_steps.py)
+    srn_train.main(["-opt", str(cfg_path), "--steps_per_call", "2"])
     state_dir = srn_root / "synth_dasr" / "training_state"
     assert state_dir.exists() and os.listdir(state_dir)
     assert (srn_root / "synth_dasr" / "val_images").exists()

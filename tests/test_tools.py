@@ -123,6 +123,46 @@ def test_compute_dists_dirs_html_report(tmp_path, rng):
     assert len(os.listdir(html_dir / "images")) == 4
 
 
+def test_sr_model_loads_full_training_state(tmp_path, rng):
+    """pretrain_model_G may point at a *full* DASR training-state orbax dir
+    (g/d_target/... TrainState trees); load_network must unwrap g.params."""
+    from dasr_tpu.models.registry import create_model
+
+    opt = {
+        "model": "DASR",
+        "scale": 4,
+        "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+        "network_D": {"which_model_D": "discriminator_patch", "nf": 8,
+                      "in_nc": 9, "n_layers": 1, "norm_type": "Batch"},
+        "train": {"lr_G": 1e-4, "lr_D": 1e-4, "fs": "wavelet",
+                  "gan_H_target": 0.005, "gan_H_source": 0},
+        "path": {},
+    }
+    dasr = create_model(opt).init(lr_size=8)
+    state_dir = str(tmp_path / "training_state")
+    dasr.save(state_dir, 5)
+
+    sr_opt = {
+        "model": "sr", "scale": 4,
+        "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+        "train": {},
+        "path": {"pretrain_model_G": state_dir},
+    }
+    sr = create_model(sr_opt)
+    sr.load()
+    out = sr.test(rng.random((8, 8, 3)).astype(np.float32))
+    assert out.shape == (32, 32, 3)
+    # loaded G must equal the DASR state's generator params
+    import jax
+
+    g_params = dasr.state.g.params
+    leaves_a = jax.tree.leaves(sr.params)
+    leaves_b = jax.tree.leaves(g_params)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_twoafc_training_step(rng):
     from dasr_tpu.losses.lpips import LPIPS
     from dasr_tpu.losses.lpips_train import TwoAFCTrainer

@@ -77,6 +77,32 @@ def test_srn_dasr_one_step(rng):
     assert _tree_l2_diff(new_state.d_target.params, state.d_target.params) > 0
 
 
+def test_srn_multi_step_matches_sequential(rng):
+    """lax.scan multi-step (one dispatch) must equal K sequential steps."""
+    tr = SRNTrainer(TINY_SRN)
+    state0 = tr.init_state(jax.random.key(0), lr_size=8)
+    b1, b2 = _srn_batch(rng), _srn_batch(rng)
+
+    s_seq, m1 = tr.train_step(state0, b1)
+    s_seq, m2 = tr.train_step(s_seq, b2)
+
+    stacked = {k: jnp.stack([b1[k], b2[k]]) for k in b1}
+    s_multi, m_stacked = tr.train_multi_step(state0, stacked)
+
+    assert int(s_multi.step) == int(s_seq.step) == 2
+    for k in m1:
+        np.testing.assert_allclose(
+            np.asarray(m_stacked[k]),
+            np.asarray([float(m1[k]), float(m2[k])]),
+            rtol=2e-5, atol=2e-6, err_msg=k,
+        )
+    for a, b in zip(
+        jax.tree.leaves(s_multi.g.params), jax.tree.leaves(s_seq.g.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=2e-6)
+
+
 def test_srn_dual_domain_and_ragan(rng):
     cfg = SRNConfig(nf=16, nb=1, gc=8, d_nf=16, gan_H_source=0.005, ragan=True)
     tr = SRNTrainer(cfg)

@@ -5,8 +5,11 @@ Reproduces the BENCH_NOTES secondary metric: nf64 nb23 gc32, batch 6
 feature loss — the reference's production training configuration
 (codes/SRN/options/train/train_DASR_auto_reproduce_aim2019.json).
 
-Usage: python tools/probe_train.py [n_steps]
+Usage: python tools/probe_train.py [n_steps] [steps_per_call]
 Prints ms/step and imgs/s plus the projected 350k-iter wall-clock.
+steps_per_call > 1 measures the scanned multi-step dispatch path
+(srn_train --steps_per_call), which amortizes the ~9 ms remote-dispatch
+cost per step.
 """
 
 from __future__ import annotations
@@ -26,30 +29,45 @@ def main():
     from dasr_tpu.train.srn_trainer import SRNConfig, SRNTrainer
 
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     cfg = SRNConfig(nf=64, nb=23, gc=32, d_nf=64, gan_H_source=0.0)
     trainer = SRNTrainer(cfg)
     state = trainer.init_state(jax.random.key(0), lr_size=32)
 
     rng = np.random.default_rng(0)
     b, lr, hr = 6, 32, 128
-    batch = {
-        "LR_fake": jnp.asarray(rng.random((b, lr, lr, 3)), jnp.float32),
-        "LR_real": jnp.asarray(rng.random((b, lr, lr, 3)), jnp.float32),
-        "HR": jnp.asarray(rng.random((b, hr, hr, 3)), jnp.float32),
-        "HR_unpair": jnp.asarray(rng.random((b, hr, hr, 3)), jnp.float32),
-        "fake_w": jnp.asarray(rng.random((b, lr // 2, lr // 2, 1)), jnp.float32),
-    }
 
-    state, metrics = trainer.train_step(state, batch)  # compile
-    float(metrics["loss/l_g_pix"])
+    def mk(shape_prefix=()):
+        return {
+            "LR_fake": jnp.asarray(rng.random((*shape_prefix, b, lr, lr, 3)), jnp.float32),
+            "LR_real": jnp.asarray(rng.random((*shape_prefix, b, lr, lr, 3)), jnp.float32),
+            "HR": jnp.asarray(rng.random((*shape_prefix, b, hr, hr, 3)), jnp.float32),
+            "HR_unpair": jnp.asarray(rng.random((*shape_prefix, b, hr, hr, 3)), jnp.float32),
+            "fake_w": jnp.asarray(rng.random((*shape_prefix, b, lr // 2, lr // 2, 1)), jnp.float32),
+        }
+
+    if k > 1:
+        batch = mk((k,))
+        step_fn = lambda st: trainer.train_multi_step(st, batch)  # noqa: E731
+        fence = lambda m: float(m["loss/l_g_pix"][-1])  # noqa: E731
+    else:
+        batch = mk()
+        step_fn = lambda st: trainer.train_step(st, batch)  # noqa: E731
+        fence = lambda m: float(m["loss/l_g_pix"])  # noqa: E731
+
+    state, metrics = step_fn(state)  # compile
+    fence(metrics)
+    state, metrics = step_fn(state)  # post-retrace steady state
+    fence(metrics)
+    n_calls = max(1, n_steps // k)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = trainer.train_step(state, batch)
-    float(metrics["loss/l_g_pix"])  # fence
-    dt = (time.perf_counter() - t0 - 0.035) / n_steps
+    for _ in range(n_calls):
+        state, metrics = step_fn(state)
+    fence(metrics)  # fence
+    dt = (time.perf_counter() - t0 - 0.035) / (n_calls * k)
     imgs = 2 * b / dt
     print(
-        f"train_step: {dt * 1e3:.1f} ms -> {imgs:.0f} imgs/s "
+        f"train_step (steps_per_call={k}): {dt * 1e3:.1f} ms -> {imgs:.0f} imgs/s "
         f"(350k iters ~= {350000 * dt / 3600:.1f} h on one chip)"
     )
 
