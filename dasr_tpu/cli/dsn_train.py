@@ -59,6 +59,9 @@ def build_argparser():
     p.add_argument("--filter", default="gau", type=str)
     p.add_argument("--cat_or_sum", default="cat", type=str)
     p.add_argument("--norm_layer", default="Instance", type=str)
+    p.add_argument("--steps_per_call", default=1, type=int,
+                   help="scan K train steps in one device dispatch "
+                        "(requires disc_freq == gen_freq == 1; same math)")
     p.add_argument("--no_saving", dest="saving", action="store_false")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--paths_yml", default=None, type=str)
@@ -158,16 +161,41 @@ def main(argv=None):
                                 upscale_factor=opt.upscale_factor,
                                 random_crop=opt.val_random_crop)
 
+    k_steps = max(1, int(opt.steps_per_call))
+    if k_steps > 1 and (opt.disc_freq != 1 or opt.gen_freq != 1):
+        print("steps_per_call > 1 requires disc_freq == gen_freq == 1; "
+              "falling back to per-step dispatch")
+        k_steps = 1
+    if opt.debug:
+        k_steps = 1
+
     iteration = 0
+    pending = []
     for epoch in range(start_epoch, opt.num_epochs + 1):
         loader.set_epoch(epoch)
         for batch in loader:
-            iteration += 1
-            dev = meshlib.shard_batch(mesh, batch)
-            do_d = iteration % opt.disc_freq == 0
-            do_g = iteration % opt.gen_freq == 0
-            state, metrics = trainer.train_step(state, dev, do_g=do_g, do_d=do_d)
-            if writer and iteration % 50 == 0:
+            if k_steps > 1:
+                pending.append(batch)
+                if len(pending) < k_steps:
+                    continue
+                import numpy as _np
+
+                stacked = {
+                    key: _np.stack([b[key] for b in pending])
+                    for key in pending[0]
+                }
+                pending = []
+                dev = meshlib.shard_stacked_batch(mesh, stacked)
+                state, metrics = trainer.train_multi_step(state, dev)
+                iteration += k_steps
+                metrics = {k: v[-1] for k, v in metrics.items()}
+            else:
+                iteration += 1
+                dev = meshlib.shard_batch(mesh, batch)
+                do_d = iteration % opt.disc_freq == 0
+                do_g = iteration % opt.gen_freq == 0
+                state, metrics = trainer.train_step(state, dev, do_g=do_g, do_d=do_d)
+            if writer and iteration // 50 > (iteration - k_steps) // 50:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 # the reference asserts on NaN generator loss (DSN/train.py:262)
                 from dasr_tpu.utils.guards import check_finite

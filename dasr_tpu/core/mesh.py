@@ -78,6 +78,13 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def shard_stacked_batch(mesh: Mesh, tree):
+    """Device-put K stacked batches (leading K axis = scan steps,
+    second axis = batch sharded over 'data') — the multi-step train path."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

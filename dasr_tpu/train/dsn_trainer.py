@@ -150,6 +150,23 @@ class DSNTrainer:
         )
 
     @functools.partial(jax.jit, static_argnames=("self", "do_g", "do_d"))
+    def _train_multi(self, state, batches, lpips_variables, do_g=True, do_d=True):
+        def body(st, bt):
+            return self._train_step(st, bt, lpips_variables, do_g=do_g, do_d=do_d)
+
+        return jax.lax.scan(body, state, batches)
+
+    def train_multi_step(self, state: GANTrainState, batches, do_g: bool = True,
+                         do_d: bool = True):
+        """K steps in one dispatch over K stacked batches (lax.scan; same
+        math as K sequential steps). Valid when disc_freq == gen_freq == 1
+        (the reference defaults, DSN/train.py:55-56); the CLI gates on
+        that. Amortizes the ~9 ms/step remote-dispatch cost (BENCH_NOTES)."""
+        return self._train_multi(
+            state, batches, self.lpips_variables, do_g=do_g, do_d=do_d
+        )
+
+    @functools.partial(jax.jit, static_argnames=("self", "do_g", "do_d"))
     def _train_step(self, state: GANTrainState, batch, lpips_variables,
                     do_g: bool = True, do_d: bool = True):
         """batch: dict(input=HR crop, bicubic=downscaled HR, disc=real LR)."""

@@ -51,6 +51,30 @@ def test_dsn_one_step_updates_and_finite(rng):
     assert _tree_l2_diff(new_state.d_target.params, state.d_target.params) > 0
 
 
+def test_dsn_multi_step_matches_sequential(rng):
+    tr = DSNTrainer(TINY_DSN)
+    state0 = tr.init_state(jax.random.key(0), lr_size=32, hr_size=128)
+    b1, b2 = _dsn_batch(rng), _dsn_batch(rng)
+
+    s_seq, _ = tr.train_step(state0, b1)
+    s_seq, m2 = tr.train_step(s_seq, b2)
+
+    stacked = {k: jnp.stack([b1[k], b2[k]]) for k in b1}
+    s_multi, m_stacked = tr.train_multi_step(state0, stacked)
+
+    assert int(s_multi.step) == int(s_seq.step) == 2
+    for k in m2:
+        np.testing.assert_allclose(
+            np.asarray(m_stacked[k][-1]), float(m2[k]),
+            rtol=2e-5, atol=2e-6, err_msg=k,
+        )
+    for a, b in zip(
+        jax.tree.leaves(s_multi.g.params), jax.tree.leaves(s_seq.g.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=2e-6)
+
+
 def test_dsn_gating():
     tr = DSNTrainer(TINY_DSN)
     state = tr.init_state(jax.random.key(0), lr_size=32, hr_size=128)
