@@ -131,7 +131,13 @@ class DASRUnpairedDataset:
         self.paths_hr = list_images(opt["dataroot_HR"])
         self.paths_fake_lr = list_images(opt["dataroot_fake_LR"])
         self.paths_real_lr = list_images(opt["dataroot_real_LR"])
-        self.paths_fake_w = list_images(opt["dataroot_fake_weights"])
+        # weights are optional: the 'LRHR_unpair' (Adaptive) mode computes
+        # DDMs online and configures no dataroot_fake_weights
+        self.paths_fake_w = (
+            list_images(opt["dataroot_fake_weights"])
+            if opt.get("dataroot_fake_weights")
+            else None
+        )
 
     def __len__(self):
         return len(self.paths_fake_lr)
@@ -141,16 +147,19 @@ class DASRUnpairedDataset:
         lr_fake = read_img(self.paths_fake_lr[index])
         self._last_real_index = int(rng.integers(len(self.paths_real_lr)))
         lr_real = read_img(self.paths_real_lr[self._last_real_index])
-        fake_w = load_ddm(self.paths_fake_w[index])
-        # DDM -> fake-LR size (reference: fake_w_dataset.py:66, cv2 bilinear)
-        fake_w = resize_linear(fake_w, lr_fake.shape[1], lr_fake.shape[0])
+        fake_w = None
+        if self.paths_fake_w is not None:
+            fake_w = load_ddm(self.paths_fake_w[index])
+            # DDM -> fake-LR size (reference: fake_w_dataset.py:66, bilinear)
+            fake_w = resize_linear(fake_w, lr_fake.shape[1], lr_fake.shape[0])
         hr = read_img(self.paths_hr[index])
         hr_unpair = read_img(self.paths_hr[int(rng.integers(len(self.paths_hr)))])
 
         if self.phase == "train":
             lr_size = self.hr_size // self.scale
             lr_fake_c, (t, l) = _rand_crop(lr_fake, lr_size, rng)
-            fake_w = fake_w[t : t + lr_size, l : l + lr_size, :]
+            if fake_w is not None:
+                fake_w = fake_w[t : t + lr_size, l : l + lr_size, :]
             lr_real, _ = _rand_crop(lr_real, lr_size, rng)
             hr = hr[
                 t * self.scale : t * self.scale + self.hr_size,
@@ -158,21 +167,29 @@ class DASRUnpairedDataset:
                 :,
             ]
             hr_unpair, _ = _rand_crop(hr_unpair, self.hr_size, rng)
-            lr_fake, lr_real, hr, hr_unpair, fake_w = _augment(
-                [lr_fake_c, lr_real, hr, hr_unpair, fake_w],
+            imgs = [lr_fake_c, lr_real, hr, hr_unpair] + (
+                [fake_w] if fake_w is not None else []
+            )
+            imgs = _augment(
+                imgs,
                 rng,
                 self.opt.get("use_flip", True),
                 self.opt.get("use_rot", True),
             )
-        return {
+            lr_fake, lr_real, hr, hr_unpair = imgs[:4]
+            if fake_w is not None:
+                fake_w = imgs[4]
+        item = {
             "LR_fake": lr_fake,
             "LR_real": lr_real,
             "HR": hr,
             "HR_unpair": hr_unpair,
-            "fake_w": fake_w,
             "LR_fake_path": self.paths_fake_lr[index],
             "HR_path": self.paths_hr[index],
         }
+        if fake_w is not None:
+            item["fake_w"] = fake_w
+        return item
 
 
 class DASRUnpairedEqDataset(DASRUnpairedDataset):
@@ -277,17 +294,14 @@ class TransWaveletDataset(DASRUnpairedDataset):
 
 
 class UnpairDataset(DASRUnpairedDataset):
-    """'LRHR_unpair' — Adaptive model variant, no precomputed weights."""
+    """'LRHR_unpair' — Adaptive model variant (no precomputed weights; the
+    trainer computes the DDM online from its patch discriminator,
+    reference: SRN/data/LRHR_unpair_dataset.py:50-155)."""
 
     def __init__(self, opt: Dict):
         opt = dict(opt)
-        opt.setdefault("dataroot_fake_weights", opt["dataroot_fake_LR"])
+        opt.pop("dataroot_fake_weights", None)
         super().__init__(opt)
-
-    def __getitem__(self, index: int, rng=None):
-        item = super().__getitem__(index, rng)
-        item.pop("fake_w", None)
-        return item
 
 
 class DSNTrainDataset:

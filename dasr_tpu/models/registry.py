@@ -509,7 +509,13 @@ class DASRModel(_InferenceMixin):
 
 
 class SRGANModel(SRModel):
-    """'srgan' / 'srragan' — ESRGAN-recipe GAN trainers."""
+    """'srgan' / 'srragan' — ESRGAN-recipe GAN trainers.
+
+    No ``supports_multi_step``: the SRGAN recipe gates the G update on
+    ``step % d_update_ratio == 0 and step > d_init_iters`` per step
+    (reference: SRGAN_model.py), which a fixed-do_g scan can't reproduce;
+    the trainer-level ``SRGANTrainer.train_multi_step`` exists for API
+    users who run past the init window with ratio 1."""
 
     def __init__(self, opt: Dict, ragan: bool = False, mesh=None):
         from dasr_tpu.train.srgan_trainer import SRGANConfig, SRGANTrainer
@@ -718,6 +724,18 @@ class DASRAdaptiveModel(_InferenceMixin):
         dev = {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)}
         self.state, metrics = self.trainer.train_step(self.state, dev)
         return {k: float(v) for k, v in metrics.items()}
+
+    @property
+    def supports_multi_step(self) -> bool:
+        return True  # the Adaptive step has no per-step gating
+
+    def train_multi_step(self, batches):
+        keys = [k for k in batches[0] if isinstance(batches[0][k], np.ndarray)]
+        stacked = {
+            k: jnp.asarray(np.stack([b[k] for b in batches])) for k in keys
+        }
+        self.state, metrics = self.trainer.train_multi_step(self.state, stacked)
+        return {k: float(jnp.mean(v)) for k, v in metrics.items()}
 
     def save(self, ckpt_dir: str, iter_step: int):
         checkpoints.save_checkpoint(ckpt_dir, self.state, iter_step)

@@ -227,6 +227,20 @@ class DASRAdaptiveTrainer(SRNTrainer):
         frozen = {"lpips": self.lpips_variables} if self.cfg.feature_weight > 0 else {}
         return self._adaptive_step(state, batch, frozen, do_g=do_g, do_d=do_d)
 
+    @functools.partial(jax.jit, static_argnames=("self", "do_g", "do_d"))
+    def _adaptive_multi(self, state, batches, frozen, do_g=True, do_d=True):
+        def body(st, bt):
+            return self._adaptive_step(st, bt, frozen, do_g=do_g, do_d=do_d)
+
+        return jax.lax.scan(body, state, batches)
+
+    def train_multi_step(self, state: AdaptiveState, batches, do_g=True,
+                         do_d=True):
+        """K steps in one dispatch (lax.scan; identical math to K
+        sequential steps — see SRNTrainer.train_multi_step)."""
+        frozen = {"lpips": self.lpips_variables} if self.cfg.feature_weight > 0 else {}
+        return self._adaptive_multi(state, batches, frozen, do_g=do_g, do_d=do_d)
+
     def sr(self, state_or_params, lr_img, patchd_params=None):
         if isinstance(state_or_params, AdaptiveState):
             g_params = state_or_params.base.g.params

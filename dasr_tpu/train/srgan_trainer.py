@@ -197,5 +197,25 @@ class SRGANTrainer:
         rng = rng if rng is not None else jax.random.key(int(state.step))
         return self._train_step(state, batch, frozen, rng, do_g=do_g, do_d=do_d)
 
+    @functools.partial(jax.jit, static_argnames=("self", "do_g", "do_d"))
+    def _train_multi(self, state, batches, frozen, rngs, do_g=True, do_d=True):
+        def body(st, xs):
+            bt, rng = xs
+            return self._train_step(st, bt, frozen, rng, do_g=do_g, do_d=do_d)
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    def train_multi_step(self, state, batches, rng=None, do_g=True, do_d=True):
+        """K steps in one dispatch (lax.scan over stacked batches + split
+        per-step rngs). Identical to K sequential ``train_step`` calls fed
+        the same per-step rngs; with the default rng the GP-interpolation
+        noise stream differs (statistically equivalent). See
+        SRNTrainer.train_multi_step for the dispatch-cost rationale."""
+        frozen = {"vgg": self.vgg_variables} if self.cfg.feature_weight > 0 else {}
+        k = jax.tree.leaves(batches)[0].shape[0]
+        rng = rng if rng is not None else jax.random.key(int(state.step))
+        rngs = jax.random.split(rng, k)
+        return self._train_multi(state, batches, frozen, rngs, do_g=do_g, do_d=do_d)
+
     def sr(self, params_g, lr_img):
         return self.g_model.apply(params_g, lr_img)

@@ -58,6 +58,22 @@ def test_eq_dataset_real_weights(data_root):
     assert "real_w" in item and item["real_w"].shape == (16, 16, 1)
 
 
+def test_unpair_dataset_no_weights(data_root):
+    """LRHR_unpair (Adaptive mode) over plain PNG dirs: must not attempt
+    any DDM load (regression: it used to default the weights dir to the
+    fake-LR PNG dir and crash in np.load)."""
+    opt = _dasr_opt(data_root, "LRHR_unpair")
+    # an Adaptive config carries no weight roots at all
+    opt.pop("dataroot_fake_weights")
+    opt.pop("dataroot_real_weights")
+    ds = create_dataset(opt)
+    item = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert "fake_w" not in item
+    assert item["LR_fake"].shape == (16, 16, 3)
+    assert item["HR"].shape == (64, 64, 3)
+    assert item["HR_unpair"].shape == (64, 64, 3)
+
+
 def test_mix_dataset(data_root):
     opt = {
         "mode": "LRHR_wavelet_unpair", "phase": "train", "scale": 4,
