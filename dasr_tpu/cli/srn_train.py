@@ -26,6 +26,11 @@ def main(argv=None):
                         help="scan K train steps inside one device dispatch "
                              "(amortizes the ~9 ms/step remote-dispatch cost; "
                              "identical math, metrics averaged over K)")
+    parser.add_argument("--transfer_uint8", action="store_true",
+                        help="ship image tensors to the device as uint8 and "
+                             "cast to f32/255 on device (4x less "
+                             "host->device traffic; bit-exact for 8-bit "
+                             "sources). Same as datasets.train.transfer_uint8.")
     args = parser.parse_args(argv)
 
     from dasr_tpu.utils.runtime import setup_runtime
@@ -67,6 +72,8 @@ def main(argv=None):
     val_set = None
     for phase, dataset_opt in (opt.get("datasets") or {}).items():
         if phase == "train":
+            if args.transfer_uint8:
+                dataset_opt["transfer_uint8"] = True
             train_set = create_dataset(dataset_opt)
             train_loader = Loader(
                 train_set,
@@ -75,6 +82,9 @@ def main(argv=None):
                 num_workers=int(dataset_opt.get("n_workers", 6) or 6),
                 drop_last=True,
                 seed=int(train_opt.get("manual_seed", 0) or 0),
+                # keep >= 2 dispatch windows of batches in flight so the
+                # multi-step path never waits on decode
+                prefetch=max(4, 2 * max(1, int(args.steps_per_call))),
             )
             logger.info(
                 f"Number of train images: {len(train_set)}, iters per epoch: "
@@ -134,6 +144,30 @@ def main(argv=None):
         # did [current_step - k .. current_step] cross a freq boundary?
         return current_step // freq > (current_step - k) // freq
 
+    def report(step_at, k_at, epoch_at, host_metrics):
+        if step_at // print_freq > (step_at - k_at) // print_freq:
+            guards.check_finite(host_metrics, step_at)
+            msg = f"<epoch:{epoch_at:3d}, iter:{step_at:8,d}> " + ", ".join(
+                f"{k.split('/')[-1]}: {v:.4e}" for k, v in host_metrics.items()
+            )
+            logger.info(msg)
+            # imgs = per-STEP effective images (fake+real halves); the
+            # writer scales by the step delta itself
+            writer.write(step_at, host_metrics, imgs=bs * 2)
+
+    # metrics of dispatch N are read after dispatch N+1 is queued, so the
+    # host->device readback fence overlaps device execution (the remote
+    # tunnel makes each fence cost ~RTT; BENCH_NOTES.md)
+    lagged = None  # (step, k, epoch, device_metrics)
+    can_async = hasattr(model, "train_multi_step_async")
+
+    def flush_lagged():
+        nonlocal lagged
+        if lagged is not None:
+            s, kk, ep, dev_m = lagged
+            report(s, kk, ep, model.metrics_to_host(dev_m))
+            lagged = None
+
     pending = []
     for epoch in range(total_epochs):
         train_loader.set_epoch(epoch)
@@ -152,7 +186,11 @@ def main(argv=None):
                 profiler_cm.__enter__()
             if k_steps > 1:
                 k = len(pending)
-                metrics = model.train_multi_step(pending)
+                if can_async:
+                    dev_metrics = model.train_multi_step_async(pending)
+                    metrics = None
+                else:
+                    metrics = model.train_multi_step(pending)
                 pending = []
             else:
                 k = 1
@@ -162,13 +200,12 @@ def main(argv=None):
                 profiler_cm.__exit__(None, None, None)
                 logger.info(f"wrote profiler trace to {args.profile}")
 
-            if crossed(print_freq):
-                guards.check_finite(metrics, current_step)
-                msg = f"<epoch:{epoch:3d}, iter:{current_step:8,d}> " + ", ".join(
-                    f"{k.split('/')[-1]}: {v:.4e}" for k, v in metrics.items()
-                )
-                logger.info(msg)
-                writer.write(current_step, metrics, imgs=bs * 2 * print_freq)
+            if metrics is not None:
+                report(current_step, k, epoch, metrics)
+            else:
+                prev, lagged = lagged, (current_step, k, epoch, dev_metrics)
+                if prev is not None:
+                    report(prev[0], prev[1], prev[2], model.metrics_to_host(prev[3]))
 
             if val_set is not None and crossed(val_freq):
                 _validate(
@@ -192,6 +229,7 @@ def main(argv=None):
         if current_step >= niter:
             break
 
+    flush_lagged()
     logger.info("Saving the final model.")
     model.save(opt["path"]["training_state"], current_step)
     logger.info("End of training.")

@@ -33,7 +33,13 @@ from typing import Dict, Optional
 import cv2
 import numpy as np
 
-from dasr_tpu.data.io import list_images, load_ddm, read_img, resize_linear
+from dasr_tpu.data.io import (
+    list_images,
+    load_ddm,
+    read_img,
+    read_img_u8,
+    resize_linear,
+)
 from dasr_tpu.ops.metrics import modcrop
 from dasr_tpu.ops.resize import imresize_np
 
@@ -128,6 +134,12 @@ class DASRUnpairedDataset:
         self.phase = opt.get("phase", "train")
         self.scale = opt.get("scale", 4)
         self.hr_size = opt.get("HR_size", 128)
+        # transfer_uint8: emit the four image tensors as uint8 (4x smaller
+        # host->device transfers; the trainer facade casts to f32/255 on
+        # device — bit-exact for 8-bit sources since crop/flip/rot are pure
+        # index ops; 16-bit sources are quantized to 8 bits)
+        self.transfer_uint8 = bool(opt.get("transfer_uint8"))
+        self._read = read_img_u8 if self.transfer_uint8 else read_img
         self.paths_hr = list_images(opt["dataroot_HR"])
         self.paths_fake_lr = list_images(opt["dataroot_fake_LR"])
         self.paths_real_lr = list_images(opt["dataroot_real_LR"])
@@ -144,16 +156,16 @@ class DASRUnpairedDataset:
 
     def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng(index)
-        lr_fake = read_img(self.paths_fake_lr[index])
+        lr_fake = self._read(self.paths_fake_lr[index])
         self._last_real_index = int(rng.integers(len(self.paths_real_lr)))
-        lr_real = read_img(self.paths_real_lr[self._last_real_index])
+        lr_real = self._read(self.paths_real_lr[self._last_real_index])
         fake_w = None
         if self.paths_fake_w is not None:
             fake_w = load_ddm(self.paths_fake_w[index])
             # DDM -> fake-LR size (reference: fake_w_dataset.py:66, bilinear)
             fake_w = resize_linear(fake_w, lr_fake.shape[1], lr_fake.shape[0])
-        hr = read_img(self.paths_hr[index])
-        hr_unpair = read_img(self.paths_hr[int(rng.integers(len(self.paths_hr)))])
+        hr = self._read(self.paths_hr[index])
+        hr_unpair = self._read(self.paths_hr[int(rng.integers(len(self.paths_hr)))])
 
         if self.phase == "train":
             lr_size = self.hr_size // self.scale

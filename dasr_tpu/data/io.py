@@ -56,6 +56,25 @@ def read_img(path: str) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def read_img_u8(path: str) -> np.ndarray:
+    """Read an 8-bit image to RGB uint8 HWC — the compact host->device
+    transfer form (cast to f32/255 on device == ``read_img`` exactly,
+    since crops/flips are pure index ops)."""
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.dtype != np.uint8:  # 16-bit PNGs keep the f32 path
+        f = read_img(path)
+        return (np.clip(f, 0, 1) * 255.0).round().astype(np.uint8)
+    if img.ndim == 3:
+        img = img[:, :, ::-1]  # BGR -> RGB
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] > 3:
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img)
+
+
 def save_img(img: np.ndarray, path: str) -> None:
     """Save RGB float [0,1] (or uint8) HWC image as PNG/JPG."""
     arr = np.asarray(img)

@@ -27,6 +27,67 @@ from dasr_tpu.train import checkpoints
 from dasr_tpu.train.srn_trainer import SRNConfig, SRNTrainer
 
 
+def _device_put_packed(tree):
+    """Upload a dict of numpy arrays as ONE byte buffer, then slice /
+    bitcast / reshape on device (async, cheap).
+
+    Through the remote-TPU tunnel every ``device_put`` pays ~30 ms of
+    round-trip latency regardless of size (measured, BENCH_NOTES.md), so
+    shipping a training batch as 5 separate arrays costs ~150 ms before a
+    single FLOP runs. uint8 leaves (``transfer_uint8`` form) are cast to
+    f32/255 on device; f32 leaves are bitcast back from their bytes —
+    both bit-exact."""
+    names = sorted(tree)
+    bufs, metas, off = [], {}, 0
+    for n in names:
+        a = np.ascontiguousarray(tree[n])
+        b = a.view(np.uint8).reshape(-1)
+        metas[n] = (off, b.size, a.dtype, a.shape)
+        bufs.append(b)
+        off += b.size
+    flat = jnp.asarray(np.concatenate(bufs))
+    out = {}
+    for n in names:
+        o, sz, dt, shp = metas[n]
+        piece = jax.lax.slice(flat, (o,), (o + sz,))
+        if dt == np.uint8:
+            out[n] = piece.reshape(shp).astype(jnp.float32) / 255.0
+        elif dt == np.float32:
+            out[n] = jax.lax.bitcast_convert_type(
+                piece.reshape(shp + (4,)), jnp.float32
+            )
+        else:
+            out[n] = jax.lax.bitcast_convert_type(
+                piece.reshape(shp + (np.dtype(dt).itemsize,)), dt
+            )
+    return out
+
+
+_METRIC_REDUCERS: Dict = {}
+
+
+def _metrics_to_host(metrics, reduce_mean: bool = False):
+    """One jitted reduction + ONE host readback for a metrics dict.
+
+    ``float(v)`` per metric costs a tunnel round-trip each (~60 ms); nine
+    metrics per step turn into ~550 ms of pure readback latency (measured).
+    Stacking the (mean-reduced) scalars into one array makes it a single
+    transfer."""
+    names = tuple(sorted(metrics))
+    key = (names, reduce_mean)
+    if key not in _METRIC_REDUCERS:
+
+        def reduce(m):
+            vals = [m[n] for n in names]
+            if reduce_mean:
+                vals = [jnp.mean(v) for v in vals]
+            return jnp.stack([jnp.asarray(v, jnp.float32).reshape(()) for v in vals])
+
+        _METRIC_REDUCERS[key] = jax.jit(reduce)
+    vals = np.asarray(_METRIC_REDUCERS[key](metrics))
+    return {n: float(v) for n, v in zip(names, vals)}
+
+
 def define_G(opt: Dict) -> Any:
     """Build the generator module from a network_G config block."""
     net = opt["network_G"]
@@ -473,13 +534,13 @@ class DASRModel(_InferenceMixin):
         step = int(self.state.step)
         do_g = (step % c.g_update_inter) == 0
         do_d = (step % c.d_update_inter) == 0
-        dev_batch = {
-            k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)
-        }
+        dev_batch = _device_put_packed(
+            {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        )
         self.state, metrics = self.trainer.train_step(
             self.state, dev_batch, do_g=do_g, do_d=do_d
         )
-        return {k: float(v) for k, v in metrics.items()}
+        return _metrics_to_host(metrics)
 
     @property
     def supports_multi_step(self) -> bool:
@@ -491,14 +552,22 @@ class DASRModel(_InferenceMixin):
     def train_multi_step(self, batches):
         """K steps in one device dispatch (see SRNTrainer.train_multi_step).
         ``batches``: list of K host batches; returns mean metrics over K."""
-        import numpy as np
+        return self.metrics_to_host(self.train_multi_step_async(batches))
 
+    def train_multi_step_async(self, batches):
+        """Dispatch K steps and return the DEVICE metrics ((K,) arrays)
+        WITHOUT fencing — read them later with ``metrics_to_host`` so the
+        next dispatch overlaps this call's execution on the device."""
         keys = [k for k in batches[0] if isinstance(batches[0][k], np.ndarray)]
-        stacked = {
-            k: jnp.asarray(np.stack([b[k] for b in batches])) for k in keys
-        }
+        stacked = _device_put_packed(
+            {k: np.stack([b[k] for b in batches]) for k in keys}
+        )
         self.state, metrics = self.trainer.train_multi_step(self.state, stacked)
-        return {k: float(jnp.mean(v)) for k, v in metrics.items()}
+        return metrics
+
+    @staticmethod
+    def metrics_to_host(metrics):
+        return _metrics_to_host(metrics, reduce_mean=True)
 
     def save(self, ckpt_dir: str, iter_step: int):
         checkpoints.save_checkpoint(ckpt_dir, self.state, iter_step)
@@ -576,9 +645,11 @@ class SRGANModel(SRModel):
         c = self.trainer.cfg
         step = int(self.state.step)
         do_g = (step % c.d_update_ratio) == 0 and step > c.d_init_iters
-        dev = {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)}
+        dev = _device_put_packed(
+            {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        )
         self.state, metrics = self.trainer.train_step(self.state, dev, do_g=do_g)
-        return {k: float(v) for k, v in metrics.items()}
+        return _metrics_to_host(metrics)
 
     def save(self, ckpt_dir: str, iter_step: int):
         checkpoints.save_checkpoint(ckpt_dir, self.state, iter_step)
@@ -636,9 +707,11 @@ class DegradationModel(_InferenceMixin):
         return np.asarray(self._apply_g(jnp.asarray(hr_img)[None])[0])
 
     def train_step(self, batch):
-        dev = {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)}
+        dev = _device_put_packed(
+            {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        )
         self.state, metrics = self.trainer.train_step(self.state, dev)
-        return {k: float(v) for k, v in metrics.items()}
+        return _metrics_to_host(metrics)
 
     def save(self, ckpt_dir: str, iter_step: int):
         checkpoints.save_checkpoint(ckpt_dir, {"g": self.state.params}, iter_step)
@@ -721,21 +794,30 @@ class DASRAdaptiveModel(_InferenceMixin):
         return self._infer(lr_img)
 
     def train_step(self, batch):
-        dev = {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)}
+        dev = _device_put_packed(
+            {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        )
         self.state, metrics = self.trainer.train_step(self.state, dev)
-        return {k: float(v) for k, v in metrics.items()}
+        return _metrics_to_host(metrics)
 
     @property
     def supports_multi_step(self) -> bool:
         return True  # the Adaptive step has no per-step gating
 
     def train_multi_step(self, batches):
+        return self.metrics_to_host(self.train_multi_step_async(batches))
+
+    def train_multi_step_async(self, batches):
         keys = [k for k in batches[0] if isinstance(batches[0][k], np.ndarray)]
-        stacked = {
-            k: jnp.asarray(np.stack([b[k] for b in batches])) for k in keys
-        }
+        stacked = _device_put_packed(
+            {k: np.stack([b[k] for b in batches]) for k in keys}
+        )
         self.state, metrics = self.trainer.train_multi_step(self.state, stacked)
-        return {k: float(jnp.mean(v)) for k, v in metrics.items()}
+        return metrics
+
+    @staticmethod
+    def metrics_to_host(metrics):
+        return _metrics_to_host(metrics, reduce_mean=True)
 
     def save(self, ckpt_dir: str, iter_step: int):
         checkpoints.save_checkpoint(ckpt_dir, self.state, iter_step)
@@ -811,9 +893,11 @@ class DePatchModel(_InferenceMixin):
         )
 
     def train_step(self, batch):
-        dev = {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)}
+        dev = _device_put_packed(
+            {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        )
         self.state, metrics = self.trainer.train_step(self.state, dev)
-        return {k: float(v) for k, v in metrics.items()}
+        return _metrics_to_host(metrics)
 
     def save(self, ckpt_dir: str, iter_step: int):
         checkpoints.save_checkpoint(ckpt_dir, self.state, iter_step)

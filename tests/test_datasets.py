@@ -74,6 +74,66 @@ def test_unpair_dataset_no_weights(data_root):
     assert item["HR_unpair"].shape == (64, 64, 3)
 
 
+def test_transfer_uint8_bit_exact(data_root):
+    """transfer_uint8 items, cast to f32/255, must equal the f32 pipeline
+    bit-for-bit (images originate as 8-bit PNGs; crops/flips are index ops)."""
+    opt_f32 = _dasr_opt(data_root, "LRHR_wavelet_unpair_fake_weights_EQ")
+    opt_u8 = dict(opt_f32, transfer_uint8=True)
+    ds_f, ds_u = create_dataset(opt_f32), create_dataset(opt_u8)
+    for i in range(3):
+        a = ds_f.__getitem__(i, rng=np.random.default_rng(i))
+        b = ds_u.__getitem__(i, rng=np.random.default_rng(i))
+        for k in ("LR_fake", "LR_real", "HR", "HR_unpair"):
+            assert b[k].dtype == np.uint8
+            np.testing.assert_array_equal(
+                a[k], b[k].astype(np.float32) / 255.0, err_msg=k
+            )
+        np.testing.assert_array_equal(a["fake_w"], b["fake_w"])  # stays f32
+
+
+def test_facade_uint8_batch_matches_f32(data_root, tmp_path):
+    """DASRModel.train_step on a uint8 batch == the same f32 batch exactly
+    (the facade casts on device)."""
+    import jax
+
+    from dasr_tpu.models.registry import create_model
+
+    opt = {
+        "model": "DASR", "scale": 4,
+        "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+        "network_D": {"which_model_D": "discriminator_patch", "nf": 8,
+                      "in_nc": 9, "n_layers": 1, "norm_type": "Batch"},
+        "train": {"lr_G": 1e-4, "lr_D": 1e-4, "fs": "wavelet",
+                  "feature_weight": 0, "gan_H_target": 0.005,
+                  "gan_H_source": 0},
+        "path": {},
+    }
+    rng = np.random.default_rng(3)
+    u8 = {
+        "LR_fake": rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8),
+        "LR_real": rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8),
+        "HR": rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8),
+        "HR_unpair": rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8),
+        "fake_w": rng.random((2, 4, 4, 1)).astype(np.float32),
+    }
+    f32 = {
+        k: (v.astype(np.float32) / 255.0 if v.dtype == np.uint8 else v)
+        for k, v in u8.items()
+    }
+
+    m_a = create_model(opt).init(lr_size=8)
+    import copy
+
+    m_b = create_model(copy.deepcopy(opt)).init(lr_size=8)
+    m_b.state = m_a.state
+    m_a.train_step(f32)
+    m_b.train_step(u8)
+    for a, b in zip(
+        jax.tree.leaves(m_a.state.g.params), jax.tree.leaves(m_b.state.g.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mix_dataset(data_root):
     opt = {
         "mode": "LRHR_wavelet_unpair", "phase": "train", "scale": 4,
