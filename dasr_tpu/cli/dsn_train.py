@@ -62,6 +62,13 @@ def build_argparser():
     p.add_argument("--steps_per_call", default=1, type=int,
                    help="scan K train steps in one device dispatch "
                         "(requires disc_freq == gen_freq == 1; same math)")
+    p.add_argument("--transfer_uint8", action="store_true",
+                   help="ship crops to the device as uint8 (4x less traffic; "
+                        "cast to f32/255 on device, bit-exact)")
+    p.add_argument("--device_bicubic", action="store_true",
+                   help="compute the MATLAB-bicubic LR target in-step on the "
+                        "MXU instead of in host data workers (same resampling "
+                        "matrices)")
     p.add_argument("--no_saving", dest="saving", action="store_false")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--paths_yml", default=None, type=str)
@@ -107,10 +114,12 @@ def main(argv=None):
     train_set = DSNTrainDataset(
         source_dir, target_dir, crop_size=opt.crop_size,
         upscale_factor=opt.upscale_factor, flips=opt.flips, rotations=opt.rotations,
+        transfer_uint8=opt.transfer_uint8, device_bicubic=opt.device_bicubic,
     )
     loader = Loader(
         train_set, batch_size=opt.batch_size, shuffle=True,
         num_workers=opt.num_workers, drop_last=True,
+        prefetch=max(4, 2 * max(1, int(opt.steps_per_call))),
     )
     steps_per_epoch = max(1, len(loader))
 
@@ -169,6 +178,19 @@ def main(argv=None):
     if opt.debug:
         k_steps = 1
 
+    from dasr_tpu.utils.transfer import device_put_packed, metrics_to_host
+
+    single_device = np.prod(mesh.devices.shape) == 1
+
+    def put(tree, stacked=False):
+        # one packed upload on a single device (every device_put pays an
+        # RTT through the remote tunnel); proper sharded puts on a mesh
+        if single_device:
+            return device_put_packed(tree)
+        if stacked:
+            return meshlib.shard_stacked_batch(mesh, tree)
+        return meshlib.shard_batch(mesh, tree)
+
     iteration = 0
     pending = []
     for epoch in range(start_epoch, opt.num_epochs + 1):
@@ -178,25 +200,23 @@ def main(argv=None):
                 pending.append(batch)
                 if len(pending) < k_steps:
                     continue
-                import numpy as _np
-
                 stacked = {
-                    key: _np.stack([b[key] for b in pending])
+                    key: np.stack([b[key] for b in pending])
                     for key in pending[0]
                 }
                 pending = []
-                dev = meshlib.shard_stacked_batch(mesh, stacked)
+                dev = put(stacked, stacked=True)
                 state, metrics = trainer.train_multi_step(state, dev)
                 iteration += k_steps
                 metrics = {k: v[-1] for k, v in metrics.items()}
             else:
                 iteration += 1
-                dev = meshlib.shard_batch(mesh, batch)
+                dev = put(batch)
                 do_d = iteration % opt.disc_freq == 0
                 do_g = iteration % opt.gen_freq == 0
                 state, metrics = trainer.train_step(state, dev, do_g=do_g, do_d=do_d)
             if writer and iteration // 50 > (iteration - k_steps) // 50:
-                host_metrics = {k: float(v) for k, v in metrics.items()}
+                host_metrics = metrics_to_host(metrics)
                 # the reference asserts on NaN generator loss (DSN/train.py:262)
                 from dasr_tpu.utils.guards import check_finite
 

@@ -324,28 +324,42 @@ class DSNTrainDataset:
     """
 
     def __init__(self, source_dir: str, target_dir: str, crop_size: int = 256,
-                 upscale_factor: int = 4, flips: bool = False, rotations: bool = False):
+                 upscale_factor: int = 4, flips: bool = False, rotations: bool = False,
+                 transfer_uint8: bool = False, device_bicubic: bool = False):
         self.noisy = list_images(source_dir)
         self.clean = list_images(target_dir)
         self.crop = crop_size - crop_size % upscale_factor
         self.scale = upscale_factor
         self.flips = flips
         self.rotations = rotations
+        # transfer_uint8: ship crops as uint8 (4x smaller; cast on device).
+        # device_bicubic: skip the host MATLAB resize — the trainer computes
+        # the LR target in-step on the MXU (exact same resampling matrices).
+        self.transfer_uint8 = transfer_uint8
+        self.device_bicubic = device_bicubic
+        self._read = read_img_u8 if transfer_uint8 else read_img
 
     def __len__(self):
         return len(self.noisy)
 
     def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng(index)
-        clean = read_img(self.clean[int(rng.integers(len(self.clean)))])
-        noisy = read_img(self.noisy[index])
+        clean = self._read(self.clean[int(rng.integers(len(self.clean)))])
+        noisy = self._read(self.noisy[index])
         clean, _ = _rand_crop(clean, self.crop, rng)
         noisy, _ = _rand_crop(noisy, self.crop // self.scale, rng)
         if self.flips or self.rotations:
             clean = _augment([clean], rng, self.flips, self.rotations)[0]
             noisy = _augment([noisy], rng, self.flips, self.rotations)[0]
-        bicubic = imresize_np(clean, 1.0 / self.scale)
-        return {"input": clean, "bicubic": bicubic, "disc": noisy}
+        item = {"input": clean, "disc": noisy}
+        if not self.device_bicubic:
+            clean_f = (
+                clean.astype(np.float32) / 255.0
+                if clean.dtype == np.uint8
+                else clean
+            )
+            item["bicubic"] = imresize_np(clean_f, 1.0 / self.scale)
+        return item
 
 
 class DSNValDataset:

@@ -25,67 +25,10 @@ from dasr_tpu.nn.generators import DSGANGenerator, DeResnet, RRDBNet, SRResNet
 from dasr_tpu.ops.tiled import forward_chop, tiled_apply
 from dasr_tpu.train import checkpoints
 from dasr_tpu.train.srn_trainer import SRNConfig, SRNTrainer
-
-
-def _device_put_packed(tree):
-    """Upload a dict of numpy arrays as ONE byte buffer, then slice /
-    bitcast / reshape on device (async, cheap).
-
-    Through the remote-TPU tunnel every ``device_put`` pays ~30 ms of
-    round-trip latency regardless of size (measured, BENCH_NOTES.md), so
-    shipping a training batch as 5 separate arrays costs ~150 ms before a
-    single FLOP runs. uint8 leaves (``transfer_uint8`` form) are cast to
-    f32/255 on device; f32 leaves are bitcast back from their bytes —
-    both bit-exact."""
-    names = sorted(tree)
-    bufs, metas, off = [], {}, 0
-    for n in names:
-        a = np.ascontiguousarray(tree[n])
-        b = a.view(np.uint8).reshape(-1)
-        metas[n] = (off, b.size, a.dtype, a.shape)
-        bufs.append(b)
-        off += b.size
-    flat = jnp.asarray(np.concatenate(bufs))
-    out = {}
-    for n in names:
-        o, sz, dt, shp = metas[n]
-        piece = jax.lax.slice(flat, (o,), (o + sz,))
-        if dt == np.uint8:
-            out[n] = piece.reshape(shp).astype(jnp.float32) / 255.0
-        elif dt == np.float32:
-            out[n] = jax.lax.bitcast_convert_type(
-                piece.reshape(shp + (4,)), jnp.float32
-            )
-        else:
-            out[n] = jax.lax.bitcast_convert_type(
-                piece.reshape(shp + (np.dtype(dt).itemsize,)), dt
-            )
-    return out
-
-
-_METRIC_REDUCERS: Dict = {}
-
-
-def _metrics_to_host(metrics, reduce_mean: bool = False):
-    """One jitted reduction + ONE host readback for a metrics dict.
-
-    ``float(v)`` per metric costs a tunnel round-trip each (~60 ms); nine
-    metrics per step turn into ~550 ms of pure readback latency (measured).
-    Stacking the (mean-reduced) scalars into one array makes it a single
-    transfer."""
-    names = tuple(sorted(metrics))
-    key = (names, reduce_mean)
-    if key not in _METRIC_REDUCERS:
-
-        def reduce(m):
-            vals = [m[n] for n in names]
-            if reduce_mean:
-                vals = [jnp.mean(v) for v in vals]
-            return jnp.stack([jnp.asarray(v, jnp.float32).reshape(()) for v in vals])
-
-        _METRIC_REDUCERS[key] = jax.jit(reduce)
-    vals = np.asarray(_METRIC_REDUCERS[key](metrics))
-    return {n: float(v) for n, v in zip(names, vals)}
+from dasr_tpu.utils.transfer import (
+    device_put_packed as _device_put_packed,
+    metrics_to_host as _metrics_to_host,
+)
 
 
 def define_G(opt: Dict) -> Any:

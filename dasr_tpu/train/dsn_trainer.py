@@ -169,10 +169,22 @@ class DSNTrainer:
     @functools.partial(jax.jit, static_argnames=("self", "do_g", "do_d"))
     def _train_step(self, state: GANTrainState, batch, lpips_variables,
                     do_g: bool = True, do_d: bool = True):
-        """batch: dict(input=HR crop, bicubic=downscaled HR, disc=real LR)."""
+        """batch: dict(input=HR crop, bicubic=downscaled HR, disc=real LR).
+
+        If "bicubic" is absent the MATLAB-parity downscale runs IN-STEP on
+        the MXU (ops/resize.imresize — identical matrices to the host
+        imresize_np): the reference's #1 CPU preprocessing hot spot
+        (DSN/utils.py:101-166 per-row loops in data workers; SURVEY §3.2)
+        becomes two fused device matmuls and the HR->LR target never
+        crosses the host->device link."""
         c = self.cfg
-        g_input = batch["bicubic"] if c.generator == "DSGAN" else batch["input"]
-        target = batch["bicubic"]
+        if "bicubic" in batch:
+            target = batch["bicubic"]
+        else:
+            from dasr_tpu.ops.resize import imresize
+
+            target = imresize(batch["input"], 1.0 / c.upscale_factor)
+        g_input = target if c.generator == "DSGAN" else batch["input"]
         disc_img = batch["disc"]
 
         def d_scores(params_d, fake):

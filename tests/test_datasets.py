@@ -134,6 +134,33 @@ def test_facade_uint8_batch_matches_f32(data_root, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_dsn_dataset_transfer_options(data_root):
+    from dasr_tpu.data.datasets import DSNTrainDataset
+
+    ds = DSNTrainDataset(
+        str(data_root / "lr_real"), str(data_root / "hr"), crop_size=64,
+        upscale_factor=4, transfer_uint8=True, device_bicubic=True,
+    )
+    item = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert "bicubic" not in item
+    assert item["input"].dtype == np.uint8 and item["input"].shape == (64, 64, 3)
+    assert item["disc"].dtype == np.uint8 and item["disc"].shape == (16, 16, 3)
+
+    # host-bicubic from a u8 crop == from the f32 pipeline
+    ds_u8 = DSNTrainDataset(
+        str(data_root / "lr_real"), str(data_root / "hr"), crop_size=64,
+        upscale_factor=4, transfer_uint8=True,
+    )
+    ds_f32 = DSNTrainDataset(
+        str(data_root / "lr_real"), str(data_root / "hr"), crop_size=64,
+        upscale_factor=4,
+    )
+    a = ds_u8.__getitem__(1, rng=np.random.default_rng(1))
+    b = ds_f32.__getitem__(1, rng=np.random.default_rng(1))
+    np.testing.assert_allclose(a["bicubic"], b["bicubic"], atol=1e-7)
+    np.testing.assert_array_equal(a["input"].astype(np.float32) / 255.0, b["input"])
+
+
 def test_mix_dataset(data_root):
     opt = {
         "mode": "LRHR_wavelet_unpair", "phase": "train", "scale": 4,

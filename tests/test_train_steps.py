@@ -75,6 +75,33 @@ def test_dsn_multi_step_matches_sequential(rng):
                                    atol=2e-6)
 
 
+def test_dsn_device_bicubic_matches_host(rng):
+    """Omitting "bicubic" makes the step compute the MATLAB downscale on
+    device — must match feeding the host-computed one (same matrices)."""
+    tr = DSNTrainer(TINY_DSN)
+    state0 = tr.init_state(jax.random.key(0), lr_size=32, hr_size=128)
+    batch = _dsn_batch(rng)
+    from dasr_tpu.ops.resize import imresize_np
+
+    batch = dict(batch)
+    batch["bicubic"] = jnp.asarray(
+        np.stack([imresize_np(np.asarray(x), 0.25) for x in batch["input"]])
+    )
+    s_host, m_host = tr.train_step(state0, batch)
+
+    no_bic = {k: v for k, v in batch.items() if k != "bicubic"}
+    s_dev, m_dev = tr.train_step(state0, no_bic)
+    for k in m_host:
+        np.testing.assert_allclose(
+            float(m_dev[k]), float(m_host[k]), rtol=2e-4, atol=2e-5, err_msg=k
+        )
+    for a, b in zip(
+        jax.tree.leaves(s_dev.g.params), jax.tree.leaves(s_host.g.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
+
+
 def test_dsn_gating():
     tr = DSNTrainer(TINY_DSN)
     state = tr.init_state(jax.random.key(0), lr_size=32, hr_size=128)
