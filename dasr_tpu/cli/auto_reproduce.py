@@ -53,6 +53,10 @@ def main(argv=None):
                    help="override SRN iterations (for smoke runs)")
     p.add_argument("--skip_dsn", action="store_true")
     p.add_argument("--skip_dataset", action="store_true")
+    p.add_argument("--no_fast_path", action="store_true",
+                   help="disable the exactness-tested perf defaults "
+                        "(steps_per_call scanning, uint8 transfer, in-step "
+                        "device bicubic) and run fully plain")
     args = p.parse_args(argv)
 
     from dasr_tpu.cli import dsn_create_dataset, dsn_train, srn_train
@@ -75,6 +79,9 @@ def main(argv=None):
         if args.num_epochs:
             dsn_args += ["--num_epochs", str(args.num_epochs),
                          "--num_decay_epochs", str(max(1, args.num_epochs // 3))]
+        if not args.no_fast_path:
+            # exactness-tested perf path (BENCH_NOTES: 180.7 -> 57.8 ms/step)
+            dsn_args += ["--transfer_uint8", "--device_bicubic"]
         dsn_train.main(dsn_args)
 
     # --- stage 2: LR + DDM generation ---
@@ -124,7 +131,11 @@ def main(argv=None):
     os.makedirs(os.path.dirname(os.path.abspath(derived)), exist_ok=True)
     with open(derived, "w") as f:
         json.dump(config, f, indent=1)
-    srn_train.main(["-opt", derived])
+    srn_args = ["-opt", derived]
+    if not args.no_fast_path:
+        # exactness-tested perf path (BENCH_NOTES: 141.8 -> 65.2 ms/step)
+        srn_args += ["--steps_per_call", "8", "--transfer_uint8"]
+    srn_train.main(srn_args)
 
 
 if __name__ == "__main__":

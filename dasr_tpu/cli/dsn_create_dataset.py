@@ -42,6 +42,9 @@ def build_argparser():
     p.add_argument("--no_ddm", action="store_true",
                    help="legacy FSSR mode: generate LRs only, no DDMs "
                         "(reference: codes/DSN/create_dataset.py)")
+    p.add_argument("--transfer_uint8", action="store_true",
+                   help="upload HR images as uint8 (4x less transfer; cast "
+                        "to f32/255 on device, exact)")
     p.add_argument("--pad_bucket", type=int, default=0,
                    help="round image sizes up to multiples of N (reflect "
                         "pad) so distinct shapes share one compilation — "
@@ -79,7 +82,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from dasr_tpu.core.config import dataset_paths
-    from dasr_tpu.data.io import list_images, read_img, save_img
+    from dasr_tpu.data.io import list_images, read_img, read_img_u8, save_img
     from dasr_tpu.nn.discriminators import FSDiscriminator
     from dasr_tpu.nn.generators import DSGANGenerator, DeResnet
     from dasr_tpu.ops.rf_splat import CONVNETS, ddm_shape_for, ddm_splat
@@ -161,9 +164,17 @@ def main(argv=None):
 
     import math
 
-    def run_g(img):
-        h0, w0 = img.shape[0], img.shape[1]
+    def to_device(img):
+        # uint8 images upload 4x smaller and are cast on device (exact)
         x = jnp.asarray(img)[None]
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        return x
+
+    def run_g_dev(img):
+        """G forward; returns the fake LR as a DEVICE array (no fence)."""
+        h0, w0 = img.shape[0], img.shape[1]
+        x = to_device(img)
         if opt.pad_bucket:
             bh = math.ceil(h0 / opt.pad_bucket) * opt.pad_bucket
             bw = math.ceil(w0 / opt.pad_bucket) * opt.pad_bucket
@@ -177,33 +188,57 @@ def main(argv=None):
             )
         else:
             out = g_apply(params_g, x)
-        out = out[0, : math.ceil(h0 / scale), : math.ceil(w0 / scale), :]
-        return np.asarray(out)
+        return out[0, : math.ceil(h0 / scale), : math.ceil(w0 / scale), :]
 
-    def ddm_for(img_lr):
-        scores = d_apply(vars_d, jnp.asarray(img_lr)[None])[0, :, :, 0]
+    def ddm_dev(img_lr_dev):
+        """D + receptive-field splat, all on device from the device fake
+        (the old path read the fake back and re-uploaded it)."""
+        scores = d_apply(vars_d, img_lr_dev[None])[0, :, :, 0]
         h, w = ddm_shape_for(opt.filter if opt.highpass else "gau",
-                             img_lr.shape[0], img_lr.shape[1])
-        ddm = ddm_splat(scores, h, w, convnet)
-        return np.asarray(ddm)[None, None]  # (1,1,h,w) like the reference
+                             img_lr_dev.shape[0], img_lr_dev.shape[1])
+        return ddm_splat(scores, h, w, convnet)
 
+    # software pipeline: dispatch image i, then drain image i-1 — the
+    # readback fences overlap the next image's device work (each fence
+    # costs a tunnel round-trip; see BENCH_NOTES.md)
+    def drain(entry):
+        base, fake_dev, ddm_arr = entry
+        save_img(np.asarray(fake_dev), os.path.join(img_dir, base))
+        if ddm_arr is not None:
+            np.save(
+                os.path.join(ddm_t_dir, base.split(".")[0]),
+                np.asarray(ddm_arr)[None, None],  # (1,1,h,w) like the reference
+            )
+
+    reader = read_img_u8 if opt.transfer_uint8 else read_img
+    inflight = None
     for i, path in enumerate(target_files):
-        hr = read_img(path)
-        fake = run_g(hr)
-        base = os.path.basename(path)
-        save_img(fake, os.path.join(img_dir, base))
-        if not opt.no_ddm:
-            np.save(os.path.join(ddm_t_dir, base.split(".")[0]), ddm_for(fake))
+        hr = reader(path)
+        fake_dev = run_g_dev(hr)
+        ddm_arr = None if opt.no_ddm else ddm_dev(fake_dev)
+        prev, inflight = inflight, (os.path.basename(path), fake_dev, ddm_arr)
+        if prev is not None:
+            drain(prev)
         if (i + 1) % 50 == 0 or i == len(target_files) - 1:
             print(f"[target {i + 1}/{len(target_files)}]")
+    if inflight is not None:
+        drain(inflight)
 
     if opt.including_source_ddm:
+        prev_s = None
         for i, path in enumerate(source_files):
-            lr = read_img(path)
-            np.save(os.path.join(ddm_s_dir, os.path.basename(path).split(".")[0]),
-                    ddm_for(lr))
+            lr = reader(path)
+            ddm_arr = ddm_dev(to_device(lr)[0])
+            out_path = os.path.join(
+                ddm_s_dir, os.path.basename(path).split(".")[0]
+            )
+            if prev_s is not None:
+                np.save(prev_s[0], np.asarray(prev_s[1])[None, None])
+            prev_s = (out_path, ddm_arr)
             if (i + 1) % 50 == 0 or i == len(source_files) - 1:
                 print(f"[source {i + 1}/{len(source_files)}]")
+        if prev_s is not None:
+            np.save(prev_s[0], np.asarray(prev_s[1])[None, None])
 
 
 if __name__ == "__main__":
