@@ -54,9 +54,9 @@ def main(argv=None):
         os.makedirs(dataset_dir, exist_ok=True)
 
         per_image = []
-        for i in range(len(test_set)):
-            data = test_set[i]
-            sr = model.test(data["LR"])
+
+        def process(i, data, sr_dev):
+            sr = np.asarray(sr_dev)
             base = os.path.splitext(os.path.basename(data["LR_path"]))[0]
             save_img(sr, os.path.join(dataset_dir, base + ".png"))
 
@@ -81,6 +81,19 @@ def main(argv=None):
                 logger.info(msg)
             else:
                 logger.info(f"{i + 1:3d} - {base}")
+
+        # dispatch image i, then drain image i-1: the SR readback + host
+        # metrics/PNG overlap the next image's device work
+        dispatch = getattr(model, "test_async", model.test)
+        inflight = None
+        for i in range(len(test_set)):
+            data = test_set[i]
+            sr_dev = dispatch(data["LR"])
+            prev, inflight = inflight, (i, data, sr_dev)
+            if prev is not None:
+                process(*prev)
+        if inflight is not None:
+            process(*inflight)
 
         if per_image:
             avg = average(per_image)

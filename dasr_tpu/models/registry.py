@@ -184,9 +184,13 @@ class _InferenceMixin:
 
     chop_threshold: int = 0
 
-    def _infer(self, lr_img: np.ndarray) -> np.ndarray:
+    def _infer_dev(self, lr_img: np.ndarray):
+        """Dispatch inference; returns the (device) SR array unfenced so a
+        caller can pipeline the readback against the next dispatch."""
         h0, w0 = lr_img.shape[0], lr_img.shape[1]
         x = jnp.asarray(lr_img)[None]
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
         scale = self.opt.get("scale", 4)
         bucket = int(self.opt.get("pad_bucket") or 0)
         if bucket:
@@ -204,7 +208,16 @@ class _InferenceMixin:
                 out = tiled_apply(x, self._apply_g, scale=scale, tile=128, halo=16)
         else:
             out = self._apply_g(x)
-        return np.asarray(out[0, : scale * h0, : scale * w0, :])
+        return out[0, : scale * h0, : scale * w0, :]
+
+    def test_async(self, lr_img: np.ndarray):
+        """Like ``test`` but returns the un-fenced device array (read it
+        with ``np.asarray``) — lets eval loops overlap the per-image
+        readback with the next image's device work."""
+        return self._infer_dev(lr_img)
+
+    def _infer(self, lr_img: np.ndarray) -> np.ndarray:
+        return np.asarray(self._infer_dev(lr_img))
 
 
 class SRModel(_InferenceMixin):
