@@ -46,6 +46,17 @@ def main(argv=None):
         lpips_fn = _make_lpips()
 
     results = []
+
+    def drain(entry):
+        name, m, lp_dev = entry
+        if lp_dev is not None:
+            m["lpips"] = float(np.asarray(lp_dev).reshape(-1)[0])
+        results.append(m)
+        print(f"{name}: " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
+
+    # LPIPS is dispatched for pair i and read back after pair i+1's host
+    # metrics — the device fence overlaps the (slow) host SSIM
+    inflight = None
     for i in range(n):
         a = to_uint8(read_img(files_a[i]))
         b = to_uint8(read_img(files_b[i]))
@@ -55,6 +66,13 @@ def main(argv=None):
         if args.border_crop:
             c = args.border_crop
             a, b = a[c:-c, c:-c], b[c:-c, c:-c]
+        lp_dev = None
+        if lpips_fn is not None:
+            from dasr_tpu.eval.evaluate import im2tensor_range
+
+            lp_dev = lpips_fn.raw(
+                im2tensor_range(a)[None], im2tensor_range(b)[None]
+            )
         # PSNR of the per-channel spatial means in [0,1]
         # (reference: DSN/evaluate.py:45 "PSNR_col")
         mean_a = a.astype(np.float64).mean(axis=(0, 1)) / 255.0
@@ -66,14 +84,11 @@ def main(argv=None):
             "psnr_col": psnr_col,
             "ssim": calculate_ssim(a.astype(float), b.astype(float)),
         }
-        if lpips_fn is not None:
-            from dasr_tpu.eval.evaluate import im2tensor_range
-
-            m["lpips"] = float(
-                lpips_fn(im2tensor_range(a)[None], im2tensor_range(b)[None])
-            )
-        results.append(m)
-        print(f"{os.path.basename(files_a[i])}: " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
+        prev, inflight = inflight, (os.path.basename(files_a[i]), m, lp_dev)
+        if prev is not None:
+            drain(prev)
+    if inflight is not None:
+        drain(inflight)
 
     avg = average(results)
     print("== mean ==")

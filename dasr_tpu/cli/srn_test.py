@@ -121,6 +121,7 @@ def _make_lpips():
     def compute(a, b):
         return float(np.asarray(fn(a, b))[0, 0, 0, 0])
 
+    compute.raw = fn  # un-fenced device result, for pipelined eval loops
     return compute
 
 

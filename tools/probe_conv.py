@@ -78,6 +78,10 @@ def main():
 
     conv_probe("conv64_64", 64, 64)
     conv_probe("conv64_192", 64, 192)
+    conv_probe("conv64_224", 64, 224)
+    conv_probe("conv64_256", 64, 256)
+    conv_probe("conv128_128", 128, 128)
+    conv_probe("conv128_256", 128, 256)
     conv_probe("conv32_160", 32, 160)
     conv_probe("conv32_64", 32, 64)
     conv_probe("conv192_192", 192, 192)
