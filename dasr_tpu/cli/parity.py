@@ -111,14 +111,28 @@ def main(argv=None):
     )
     n = len(ds) if opt.max_images is None else min(len(ds), opt.max_images)
     rows = []
-    for i in range(n):
-        data = ds[i]
-        sr = model.test(data["LR"])
+
+    def drain(i, data, sr_dev):
+        import numpy as _np
+
+        sr = _np.asarray(sr_dev)
         m = sr_metrics(to_uint8(sr), to_uint8(data["HR"]), opt.scale, lpips_fn)
         name = os.path.basename(data.get("HR_path", str(i)))
         rows.append((name, m))
         print(f"{i+1:3d}/{n} {name}: PSNR {m['psnr']:.4f} SSIM {m['ssim']:.4f}"
               + (f" LPIPS {m['lpips']:.4f}" if "lpips" in m else ""))
+
+    # dispatch image i, drain i-1 (readback overlaps the next SR forward)
+    dispatch = getattr(model, "test_async", model.test)
+    inflight = None
+    for i in range(n):
+        data = ds[i]
+        sr_dev = dispatch(data["LR"])
+        prev, inflight = inflight, (i, data, sr_dev)
+        if prev is not None:
+            drain(*prev)
+    if inflight is not None:
+        drain(*inflight)
     avg = average([m for _, m in rows])
 
     lines = ["# Parity report", ""]
