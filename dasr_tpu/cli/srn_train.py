@@ -278,14 +278,28 @@ def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
         logger.info(
             f"Validating {n}/{len(val_set)} images (max_val_images={cap})"
         )
-    for i in range(n):
-        data = val_set[i]
-        sr = model.test(data["LR"])
-        m = sr_metrics(to_uint8(sr), to_uint8(data["HR"]), opt.get("scale", 4), lpips_fn)
+    img_dir = os.path.join(opt["path"]["val_images"], str(step))
+
+    def drain(data, sr_dev):
+        sr = np.asarray(sr_dev)
+        m = sr_metrics(
+            to_uint8(sr), to_uint8(data["HR"]), opt.get("scale", 4), lpips_fn
+        )
         results.append(m)
-        img_dir = os.path.join(opt["path"]["val_images"], str(step))
         base = os.path.splitext(os.path.basename(data["HR_path"]))[0]
         save_img(sr, os.path.join(img_dir, f"{base}_{step}.png"))
+
+    # dispatch image i, drain i-1 (readback + host metrics overlap device)
+    dispatch = getattr(model, "test_async", model.test)
+    inflight = None
+    for i in range(n):
+        data = val_set[i]
+        sr_dev = dispatch(data["LR"])
+        prev, inflight = inflight, (data, sr_dev)
+        if prev is not None:
+            drain(*prev)
+    if inflight is not None:
+        drain(*inflight)
     avg = average(results)
     msg = f"# Validation # PSNR: {avg['psnr']:.4e}"
     if "lpips" in avg:
