@@ -87,15 +87,22 @@ def main(argv=None):
         )
         d_apply = jax.jit(d_model.apply)
 
-    for path in list_images(args.input_dir):
+    from dasr_tpu.utils.transfer import pipelined
+
+    def dispatch(path):
         img = read_img(path)
-        out = np.asarray(g_apply(params_g, jnp.asarray(img)[None])[0])
-        base = os.path.basename(path)
-        save_img(out, os.path.join(args.output_dir, base))
+        out_dev = g_apply(params_g, jnp.asarray(img)[None])[0]
+        ddm = None
         if d_model is not None:
-            scores = d_apply(vars_d, jnp.asarray(out)[None])[0, :, :, 0]
-            h, w = ddm_shape_for(args.filter, out.shape[0], out.shape[1])
+            scores = d_apply(vars_d, out_dev[None])[0, :, :, 0]
+            h, w = ddm_shape_for(args.filter, out_dev.shape[0], out_dev.shape[1])
             ddm = ddm_splat(scores, h, w, CONVNETS[args.discriminator])
+        return out_dev, ddm
+
+    for path, (out_dev, ddm) in pipelined(list_images(args.input_dir), dispatch):
+        base = os.path.basename(path)
+        save_img(np.asarray(out_dev), os.path.join(args.output_dir, base))
+        if ddm is not None:
             np.save(
                 os.path.join(args.output_dir, base.split(".")[0] + "_ddm"),
                 np.asarray(ddm)[None, None],

@@ -46,6 +46,26 @@ def device_put_packed(tree: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
     return out
 
 
+def pipelined(items, dispatch):
+    """Software-pipeline a per-item device loop: yields ``(item, result)``
+    one item LATE, so the caller's readback/host work for item i overlaps
+    item i+1's device execution (each fence costs a round-trip on remote
+    links). ``dispatch(item)`` should queue device work and return the
+    un-fenced result.
+
+        for item, sr_dev in pipelined(dataset, lambda d: model.test_async(d)):
+            process(item, np.asarray(sr_dev))
+    """
+    inflight = None
+    for item in items:
+        res = dispatch(item)
+        prev, inflight = inflight, (item, res)
+        if prev is not None:
+            yield prev
+    if inflight is not None:
+        yield inflight
+
+
 _METRIC_REDUCERS: Dict = {}
 
 

@@ -49,6 +49,29 @@ def test_metrics_to_host_scalars_and_means():
     assert host == {"x": 2.0, "y": 15.0}
 
 
+def test_pipelined_order_and_lag():
+    from dasr_tpu.utils.transfer import pipelined
+
+    events = []
+
+    def dispatch(i):
+        events.append(("d", i))
+        return i * 10
+
+    out = []
+    for item, res in pipelined(range(4), dispatch):
+        events.append(("y", item))
+        out.append((item, res))
+    assert out == [(0, 0), (1, 10), (2, 20), (3, 30)]
+    # item i is yielded only after item i+1 was dispatched (1-deep lag)
+    assert events == [
+        ("d", 0), ("d", 1), ("y", 0), ("d", 2), ("y", 1),
+        ("d", 3), ("y", 2), ("y", 3),
+    ]
+    assert list(pipelined([], dispatch)) == []
+    assert list(pipelined([7], lambda x: x)) == [(7, 7)]
+
+
 def test_metrics_to_host_one_transfer(monkeypatch):
     """All values must come back in a single np.asarray call."""
     import dasr_tpu.utils.transfer as tr
