@@ -21,6 +21,10 @@ def main(argv=None):
                    help="pixels removed at the border before metrics "
                         "(reference: DSN/evaluate.py:19)")
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--device_metrics", action="store_true",
+                   help="compute PSNR/PSNR_col/SSIM (and LPIPS) on device "
+                        "in ONE dispatch per pair (f32; differs from the "
+                        "host f64 protocol by < 1e-4 — parity-tested)")
     args = p.parse_args(argv)
 
     from dasr_tpu.utils.runtime import setup_runtime
@@ -47,15 +51,53 @@ def main(argv=None):
 
     results = []
 
+    dev_pair_fn = None
+    if args.device_metrics:
+        import jax
+        import jax.numpy as jnp
+
+        from dasr_tpu.ops.metrics import psnr_device, ssim_device
+
+        @jax.jit
+        def dev_pair_fn(a_u8, b_u8):
+            """uint8 HWC pair -> stacked [psnr, psnr_col, ssim (, lpips)]."""
+            a = a_u8.astype(jnp.float32)[None]
+            b = b_u8.astype(jnp.float32)[None]
+            vals = [
+                psnr_device(a, b, 255.0)[0],
+                # PSNR of the per-channel spatial means in [0,1]
+                # (reference: DSN/evaluate.py:45 "PSNR_col")
+                10.0
+                * jnp.log10(
+                    1.0
+                    / jnp.mean(
+                        (jnp.mean(a / 255.0, (1, 2)) - jnp.mean(b / 255.0, (1, 2)))
+                        ** 2
+                    )
+                ),
+                ssim_device(a, b)[0],
+            ]
+            if lpips_fn is not None:
+                vals.append(
+                    lpips_fn.raw(a / 127.5 - 1.0, b / 127.5 - 1.0).reshape(())
+                )
+            return jnp.stack(vals)
+
     def drain(entry):
         name, m, lp_dev = entry
-        if lp_dev is not None:
+        if args.device_metrics:
+            vals = np.asarray(lp_dev)  # stacked device metrics
+            m = {"psnr": float(vals[0]), "psnr_col": float(vals[1]),
+                 "ssim": float(vals[2])}
+            if lpips_fn is not None:
+                m["lpips"] = float(vals[3])
+        elif lp_dev is not None:
             m["lpips"] = float(np.asarray(lp_dev).reshape(-1)[0])
         results.append(m)
         print(f"{name}: " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
 
-    # LPIPS is dispatched for pair i and read back after pair i+1's host
-    # metrics — the device fence overlaps the (slow) host SSIM
+    # device work is dispatched for pair i and read back after pair i+1's
+    # host work — the fence overlaps the next pair's decode/compute
     inflight = None
     for i in range(n):
         a = to_uint8(read_img(files_a[i]))
@@ -66,24 +108,34 @@ def main(argv=None):
         if args.border_crop:
             c = args.border_crop
             a, b = a[c:-c, c:-c], b[c:-c, c:-c]
-        lp_dev = None
-        if lpips_fn is not None:
-            from dasr_tpu.eval.evaluate import im2tensor_range
+        if args.device_metrics:
+            from dasr_tpu.utils.transfer import device_put_packed
 
-            lp_dev = lpips_fn.raw(
-                im2tensor_range(a)[None], im2tensor_range(b)[None]
+            up = device_put_packed({"a": a, "b": b}, u8_to_f32=False)
+            dev = dev_pair_fn(up["a"], up["b"])
+            m = None
+            lp_dev = dev
+        else:
+            lp_dev = None
+            if lpips_fn is not None:
+                from dasr_tpu.eval.evaluate import im2tensor_range
+
+                lp_dev = lpips_fn.raw(
+                    im2tensor_range(a)[None], im2tensor_range(b)[None]
+                )
+            # PSNR of the per-channel spatial means in [0,1]
+            # (reference: DSN/evaluate.py:45 "PSNR_col")
+            mean_a = a.astype(np.float64).mean(axis=(0, 1)) / 255.0
+            mean_b = b.astype(np.float64).mean(axis=(0, 1)) / 255.0
+            mse_col = float(np.mean((mean_a - mean_b) ** 2))
+            psnr_col = (
+                float("inf") if mse_col == 0 else 10 * np.log10(1.0 / mse_col)
             )
-        # PSNR of the per-channel spatial means in [0,1]
-        # (reference: DSN/evaluate.py:45 "PSNR_col")
-        mean_a = a.astype(np.float64).mean(axis=(0, 1)) / 255.0
-        mean_b = b.astype(np.float64).mean(axis=(0, 1)) / 255.0
-        mse_col = float(np.mean((mean_a - mean_b) ** 2))
-        psnr_col = float("inf") if mse_col == 0 else 10 * np.log10(1.0 / mse_col)
-        m = {
-            "psnr": calculate_psnr(a.astype(float), b.astype(float)),
-            "psnr_col": psnr_col,
-            "ssim": calculate_ssim(a.astype(float), b.astype(float)),
-        }
+            m = {
+                "psnr": calculate_psnr(a.astype(float), b.astype(float)),
+                "psnr_col": psnr_col,
+                "ssim": calculate_ssim(a.astype(float), b.astype(float)),
+            }
         prev, inflight = inflight, (os.path.basename(files_a[i]), m, lp_dev)
         if prev is not None:
             drain(prev)

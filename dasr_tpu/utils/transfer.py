@@ -18,12 +18,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def device_put_packed(tree: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+def device_put_packed(
+    tree: Dict[str, np.ndarray], u8_to_f32: bool = True
+) -> Dict[str, jax.Array]:
     """Upload a dict of numpy arrays as ONE byte buffer, then slice /
     bitcast / reshape on device (async dispatches, cheap).
 
     uint8 leaves (the ``transfer_uint8`` wire form) are cast to f32/255 on
-    device; other dtypes are bitcast back from their bytes — bit-exact."""
+    device (pass ``u8_to_f32=False`` to keep them uint8); other dtypes are
+    bitcast back from their bytes — bit-exact."""
     names = sorted(tree)
     bufs, metas, off = [], {}, 0
     for n in names:
@@ -38,7 +41,11 @@ def device_put_packed(tree: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         o, sz, dt, shp = metas[n]
         piece = jax.lax.slice(flat, (o,), (o + sz,))
         if dt == np.uint8:
-            out[n] = piece.reshape(shp).astype(jnp.float32) / 255.0
+            out[n] = (
+                piece.reshape(shp).astype(jnp.float32) / 255.0
+                if u8_to_f32
+                else piece.reshape(shp)
+            )
         else:
             out[n] = jax.lax.bitcast_convert_type(
                 piece.reshape(shp + (np.dtype(dt).itemsize,)), dt
