@@ -229,14 +229,20 @@ def main(argv=None):
             opt.save_model_interval = 1
 
         if val_set is not None and epoch % opt.val_interval == 0:
-            psnrs = []
-            for i in range(min(len(val_set), 16)):
-                item = val_set[i]
-                fake = trainer.generate(state.g.params, item["input"][None])
-                psnrs.append(float(psnr_device(fake[0], item["bicubic"])))
+            # batched: ONE generator call + ONE PSNR readback for the whole
+            # val subset (was 16 per-image fences over the tunnel)
+            items = [val_set[i] for i in range(min(len(val_set), 16))]
+            dev = put({
+                "input": np.stack([it["input"] for it in items]),
+                "bicubic": np.stack([it["bicubic"] for it in items]),
+            })
+            fake = trainer.generate(state.g.params, dev["input"])
+            mean_psnr = float(
+                np.mean(np.asarray(psnr_device(fake, dev["bicubic"])))
+            )
             if writer:
-                writer.write(iteration, {"val/psnr_vs_bicubic": float(np.mean(psnrs))})
-            print(f"[epoch {epoch}] val PSNR vs bicubic: {np.mean(psnrs):.3f} dB")
+                writer.write(iteration, {"val/psnr_vs_bicubic": mean_psnr})
+            print(f"[epoch {epoch}] val PSNR vs bicubic: {mean_psnr:.3f} dB")
 
         if (
             opt.saving
