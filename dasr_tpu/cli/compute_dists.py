@@ -20,11 +20,16 @@ def _dist_fn(model="net-lin", net="alex", version="0.1", backbone=None):
     fn = create_dist_model(model=model, net=net, version=version,
                            backbone_path=backbone)
 
-    def compute(img0_u8, img1_u8):
+    def dispatch(img0_u8, img1_u8):
+        """Un-fenced distance (device array or np scalar for l2/ssim)."""
         a = img0_u8.astype(np.float32) / 127.5 - 1.0
         b = img1_u8.astype(np.float32) / 127.5 - 1.0
-        return float(np.asarray(fn(a[None], b[None])).reshape(-1)[0])
+        return fn(a[None], b[None])
 
+    def compute(img0_u8, img1_u8):
+        return float(np.asarray(dispatch(img0_u8, img1_u8)).reshape(-1)[0])
+
+    compute.dispatch = dispatch
     return compute
 
 
@@ -109,11 +114,20 @@ def main(argv=None):
         print(f"Distance: {d:.4f}")
         return d
     if args.cmd == "dirs":
+        from dasr_tpu.utils.transfer import pipelined
+
         files0, files1 = list_images(args.dir0), list_images(args.dir1)
         out_f = open(args.out, "w") if args.out else None
         dists = []
-        for f0, f1 in zip(files0, files1):
-            d = compute(to_uint8(read_img(f0)), to_uint8(read_img(f1)))
+        # dispatch pair i, drain pair i-1: the distance readback overlaps
+        # the next pair's decode + device forward
+        for (f0, _), d_dev in pipelined(
+            list(zip(files0, files1)),
+            lambda pair: compute.dispatch(
+                to_uint8(read_img(pair[0])), to_uint8(read_img(pair[1]))
+            ),
+        ):
+            d = float(np.asarray(d_dev).reshape(-1)[0])
             dists.append(d)
             line = f"{os.path.basename(f0)}: {d:.4f}"
             print(line)

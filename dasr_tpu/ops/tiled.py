@@ -36,6 +36,12 @@ def forward_chop(
 ) -> jax.Array:
     """Reference-parity recursive quadrant inference on NHWC images."""
     b, h, w, c = img.shape
+    if h <= 2 * shave or w <= 2 * shave:
+        # too small to quadrant with this shave — run directly. (The
+        # reference slices degenerate quads here and torch.cat crashes,
+        # SRN/utils/util.py:87-147; crash fixed per policy, equal output
+        # for all sizes the reference handles.)
+        return model(img)
     top = slice(0, h // 2 + shave)
     bottom = slice(h - h // 2 - shave, h)
     left = slice(0, w // 2 + shave)

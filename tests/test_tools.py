@@ -123,6 +123,25 @@ def test_compute_dists_dirs_html_report(tmp_path, rng):
     assert len(os.listdir(html_dir / "images")) == 4
 
 
+def test_sr_model_test_async_chop_path(rng):
+    """test_async must interoperate with the chop/tiled inference paths
+    (which may return host arrays) — np.asarray drains either."""
+    from dasr_tpu.models.registry import create_model
+
+    opt = {
+        "model": "sr", "scale": 4, "chop": True, "chop_parity": True,
+        "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+        "train": {}, "path": {},
+    }
+    m = create_model(opt).init(lr_size=8)
+    m.chop_threshold = 0  # force the chop path on a small image
+    x = rng.random((24, 24, 3)).astype(np.float32)
+    out_async = np.asarray(m.test_async(x))
+    out_sync = m.test(x)
+    assert out_async.shape == (96, 96, 3)
+    np.testing.assert_array_equal(out_async, out_sync)
+
+
 def test_sr_model_loads_full_training_state(tmp_path, rng):
     """pretrain_model_G may point at a *full* DASR training-state orbax dir
     (g/d_target/... TrainState trees); load_network must unwrap g.params."""
