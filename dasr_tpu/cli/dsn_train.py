@@ -32,7 +32,12 @@ def build_argparser():
     p.add_argument("--adam_beta_1", default=0.5, type=float)
     p.add_argument("--val_interval", default=5, type=int)
     p.add_argument("--val_random_crop", action="store_true",
-                   help="reference-parity random val crops (PARITY.md)")
+                   help="reference-parity behavior: re-crop val images at a "
+                        "RANDOM position each pass (DSN/data_loader.py:180). "
+                        "DEFAULT here is a deterministic center crop, so val "
+                        "PSNR is comparable across epochs but NOT directly "
+                        "comparable to reference training logs (PARITY.md "
+                        "'Known deltas')")
     p.add_argument("--val_img_interval", default=5, type=int)
     p.add_argument("--save_model_interval", default=5, type=int)
     p.add_argument("--artifacts", default="tdsr", type=str)
@@ -182,9 +187,13 @@ def main(argv=None):
 
     single_device = np.prod(mesh.devices.shape) == 1
 
+    n_data = int(mesh.shape[meshlib.DATA_AXIS])
+
     def put(tree, stacked=False):
         # one packed upload on a single device (every device_put pays an
-        # RTT through the remote tunnel); proper sharded puts on a mesh
+        # RTT through the remote tunnel); proper sharded puts on a mesh.
+        # uint8 wire-form leaves are cast to f32/255 inside the train step
+        # itself, so packed and sharded paths feed identical math.
         if single_device:
             return device_put_packed(tree)
         if stacked:
@@ -230,12 +239,22 @@ def main(argv=None):
 
         if val_set is not None and epoch % opt.val_interval == 0:
             # batched: ONE generator call + ONE PSNR readback for the whole
-            # val subset (was 16 per-image fences over the tunnel)
-            items = [val_set[i] for i in range(min(len(val_set), 16))]
-            dev = put({
+            # val subset (was 16 per-image fences over the tunnel). On a
+            # mesh, truncate to a multiple of the data-axis size (a
+            # non-divisible leading dim fails the NamedSharding put);
+            # replicate if fewer val images than devices.
+            count = min(len(val_set), 16)
+            if not single_device and count >= n_data:
+                count -= count % n_data
+            items = [val_set[i] for i in range(count)]
+            stacked_val = {
                 "input": np.stack([it["input"] for it in items]),
                 "bicubic": np.stack([it["bicubic"] for it in items]),
-            })
+            }
+            if single_device or count % n_data == 0:
+                dev = put(stacked_val)
+            else:
+                dev = meshlib.replicate(mesh, stacked_val)
             fake = trainer.generate(state.g.params, dev["input"])
             mean_psnr = float(
                 np.mean(np.asarray(psnr_device(fake, dev["bicubic"])))
@@ -283,6 +302,22 @@ def main(argv=None):
 
         if opt.debug and epoch >= start_epoch + 1:
             break
+
+    if pending:
+        # flush the trailing partial scan window (mirrors srn_train's
+        # partial flush) — without this up to K-1 batches at the end of
+        # training were silently dropped and epoch accounting drifted
+        stacked = {
+            key: np.stack([b[key] for b in pending]) for key in pending[0]
+        }
+        n_flush = len(pending)
+        pending = []
+        state, metrics = trainer.train_multi_step(state, put(stacked, stacked=True))
+        iteration += n_flush
+        if writer:
+            writer.write(
+                iteration, metrics_to_host({k: v[-1] for k, v in metrics.items()})
+            )
 
     if opt.saving:
         # always leave a final checkpoint (the reference's last_iteration.tar

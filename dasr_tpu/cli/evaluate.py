@@ -24,7 +24,11 @@ def main(argv=None):
     p.add_argument("--device_metrics", action="store_true",
                    help="compute PSNR/PSNR_col/SSIM (and LPIPS) on device "
                         "in ONE dispatch per pair (f32; differs from the "
-                        "host f64 protocol by < 1e-4 — parity-tested)")
+                        "host f64 protocol by < 1e-4 — parity-tested). "
+                        "Best for SAME-SIZE pairs: each distinct image shape "
+                        "compiles its own program (~2 min each over a remote "
+                        "TPU tunnel), so for varied-size dirs (DIV2K-style) "
+                        "the host path is usually faster on first run")
     args = p.parse_args(argv)
 
     from dasr_tpu.utils.runtime import setup_runtime

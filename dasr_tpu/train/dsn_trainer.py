@@ -176,7 +176,16 @@ class DSNTrainer:
         imresize_np): the reference's #1 CPU preprocessing hot spot
         (DSN/utils.py:101-166 per-row loops in data workers; SURVEY §3.2)
         becomes two fused device matmuls and the HR->LR target never
-        crosses the host->device link."""
+        crosses the host->device link.
+
+        uint8 leaves (the ``--transfer_uint8`` wire form) are cast to
+        f32/255 here so every upload path — packed single-device puts,
+        which pre-cast, AND raw sharded multi-device puts, which don't —
+        feeds the same math."""
+        batch = {
+            k: (v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v)
+            for k, v in batch.items()
+        }
         c = self.cfg
         if "bicubic" in batch:
             target = batch["bicubic"]

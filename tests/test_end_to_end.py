@@ -58,8 +58,12 @@ def test_full_pipeline(synth_data, tmp_path):
             "--num_res_blocks", "1",
             "--crop_size", "128", "--crop_size_val", "128",
             "--batch_size", "2", "--num_workers", "2",
-            "--num_epochs", "2", "--num_decay_epochs", "1",
+            "--num_epochs", "3", "--num_decay_epochs", "1",
             "--val_interval", "1", "--save_model_interval", "1",
+            # 3 epochs x 2 steps with K=4 ends with 2 batches pending ->
+            # exercises the trailing partial-scan flush; uint8 wire form
+            # exercises the in-step u8->f32 cast
+            "--steps_per_call", "4", "--transfer_uint8",
             "--experiments_root", str(exp_root),
             "--save_path", "dsn_synth",
         ]
@@ -67,6 +71,9 @@ def test_full_pipeline(synth_data, tmp_path):
     ckpt_dir = exp_root / "dsn_synth" / "checkpoints"
     assert ckpt_dir.exists()
     assert (exp_root / "dsn_synth" / "metrics.jsonl").exists()
+    # the flush trained the trailing batches: final iteration == 6, not 4
+    steps = sorted(int(p) for p in os.listdir(ckpt_dir) if p.isdigit())
+    assert steps and steps[-1] == 6, steps
 
     # --- stage 2: LR + DDM generation ---
     from dasr_tpu.cli import dsn_create_dataset

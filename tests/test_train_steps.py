@@ -223,6 +223,35 @@ def test_srn_overfits_single_batch(rng):
     assert last < first * 0.7, (first, last)
 
 
+def test_dsn_uint8_sharded_matches_f32(rng):
+    """--transfer_uint8 on a multi-device mesh: raw uint8 batches go through
+    shard_batch (no packed-upload pre-cast), so the trainer itself must
+    cast u8 -> f32/255. Regression for the round-2 advisor finding: the
+    sharded path trained on 0-255-scale inputs."""
+    mesh = meshlib.make_mesh(n_data=8)
+    u8 = {
+        "input": (rng.random((8, 64, 64, 3)) * 255).astype(np.uint8),
+        "bicubic": (rng.random((8, 16, 16, 3)) * 255).astype(np.uint8),
+        "disc": (rng.random((8, 16, 16, 3)) * 255).astype(np.uint8),
+    }
+    f32 = {k: v.astype(np.float32) / 255.0 for k, v in u8.items()}
+
+    cfg = DSNConfig(num_res_blocks=1, use_per_loss=False)
+    tr = DSNTrainer(cfg, mesh=mesh)
+    state = tr.init_state(jax.random.key(0), lr_size=16, hr_size=64)
+
+    s_u8, m_u8 = tr.train_step(state, meshlib.shard_batch(mesh, u8))
+    s_f32, m_f32 = tr.train_step(state, meshlib.shard_batch(mesh, f32))
+    np.testing.assert_allclose(
+        float(m_u8["loss/g_overall_loss"]),
+        float(m_f32["loss/g_overall_loss"]),
+        rtol=1e-6,
+    )
+    # in-graph u8/255 fuses differently than the precomputed host division
+    # (reassociation ULPs); anything near 255x-scale wrongness would be huge
+    assert _tree_l2_diff(s_u8.g.params, s_f32.g.params) < 1e-6
+
+
 def test_dsn_ragan_mode(rng):
     """RaGAN DSN: D scores are relativistic pairs (DSN/train.py:220-223)."""
     cfg = DSNConfig(num_res_blocks=1, ragan=True, use_per_loss=False)
