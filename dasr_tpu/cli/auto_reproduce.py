@@ -59,7 +59,16 @@ def main(argv=None):
                         "device bicubic) and run fully plain")
     args = p.parse_args(argv)
 
+    import time
+
     from dasr_tpu.cli import dsn_create_dataset, dsn_train, srn_train
+
+    stage_times = {}
+
+    def _tick(stage, t0):
+        dt = time.time() - t0
+        stage_times[stage] = dt
+        print(f"[auto_reproduce] stage '{stage}' wall-clock: {dt:.1f} s")
 
     paths_yml = args.paths_yml or os.path.join(
         os.path.dirname(__file__), "..", "..", "paths.yml"
@@ -71,6 +80,7 @@ def main(argv=None):
 
     # --- stage 1: DSN training ---
     if not args.skip_dsn:
+        t0 = time.time()
         dsn_args = list(_DSN_ARGS[args.dataset]) + [
             "--paths_yml", paths_yml,
             "--experiments_root", exp_root,
@@ -83,9 +93,11 @@ def main(argv=None):
             # exactness-tested perf path (BENCH_NOTES: 180.7 -> 57.8 ms/step)
             dsn_args += ["--transfer_uint8", "--device_bicubic"]
         dsn_train.main(dsn_args)
+        _tick("dsn_train", t0)
 
     # --- stage 2: LR + DDM generation ---
     if not args.skip_dataset:
+        t0 = time.time()
         dsn_create_dataset.main(
             [
                 "--dataset", _CREATE_DATASET_NAME[args.dataset],
@@ -97,6 +109,7 @@ def main(argv=None):
                 "--results_root", res_root,
             ]
         )
+        _tick("dsn_create_dataset", t0)
 
     # --- stage 3: SRN/DASR training from a derived config ---
     from dasr_tpu.core.config import dataset_paths
@@ -131,11 +144,20 @@ def main(argv=None):
     os.makedirs(os.path.dirname(os.path.abspath(derived)), exist_ok=True)
     with open(derived, "w") as f:
         json.dump(config, f, indent=1)
+    t0 = time.time()
     srn_args = ["-opt", derived]
     if not args.no_fast_path:
         # exactness-tested perf path (BENCH_NOTES: 141.8 -> 65.2 ms/step)
         srn_args += ["--steps_per_call", "8", "--transfer_uint8"]
     srn_train.main(srn_args)
+    _tick("srn_train", t0)
+    if stage_times:
+        total = sum(stage_times.values())
+        print(
+            "[auto_reproduce] TOTAL wall-clock: "
+            + f"{total:.1f} s ({total / 3600:.2f} h) — "
+            + ", ".join(f"{k}={v:.1f}s" for k, v in stage_times.items())
+        )
 
 
 if __name__ == "__main__":

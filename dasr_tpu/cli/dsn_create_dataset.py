@@ -45,6 +45,11 @@ def build_argparser():
     p.add_argument("--transfer_uint8", action="store_true",
                    help="upload HR images as uint8 (4x less transfer; cast "
                         "to f32/255 on device, exact)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="fan the generator's tile batch over N devices "
+                        "(ops/tiled.tiled_apply over the mesh 'data' axis); "
+                        "also lowers the tiling threshold so every "
+                        "multi-tile image parallelizes")
     p.add_argument("--pad_bucket", type=int, default=0,
                    help="round image sizes up to multiples of N (reflect "
                         "pad) so distinct shapes share one compilation — "
@@ -158,6 +163,14 @@ def main(argv=None):
             print(f"Using model at epoch {ckpt['epoch']}")
         shutil.copyfile(opt.checkpoint, os.path.join(out_dir, opt.name + ".tar"))
 
+    mesh = None
+    if opt.mesh:
+        from dasr_tpu.core import mesh as meshlib
+
+        mesh = meshlib.make_mesh(n_data=opt.mesh)
+        params_g = meshlib.replicate(mesh, params_g)
+        vars_d = meshlib.replicate(mesh, vars_d)
+
     g_apply = jax.jit(g_model.apply)
     d_apply = jax.jit(d_model.apply)
     scale = opt.upscale_factor
@@ -181,10 +194,12 @@ def main(argv=None):
             x = jnp.pad(
                 x, ((0, 0), (0, bh - h0), (0, bw - w0), (0, 0)), mode="reflect"
             )
-        if x.shape[1] * x.shape[2] > 1024 * 1024:  # tile very large HRs
+        tile = 256 if mesh is not None else 512
+        threshold = tile * tile if mesh is not None else 1024 * 1024
+        if x.shape[1] * x.shape[2] > threshold:  # tile large HRs
             out = tiled_apply(
                 x, lambda t: g_apply(params_g, t),
-                scale=1.0 / scale, tile=512, halo=16 * scale,
+                scale=1.0 / scale, tile=tile, halo=16 * scale, mesh=mesh,
             )
         else:
             out = g_apply(params_g, x)

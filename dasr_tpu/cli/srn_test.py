@@ -20,6 +20,16 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True, help="Path to options JSON file.")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="fan inference over N devices: with the JSON's "
+                             "chop flag the tile batch shards over the mesh "
+                             "'data' axis; with --spatial_shard the image's "
+                             "H axis is sharded with ICI halo exchange")
+    parser.add_argument("--spatial_shard", action="store_true",
+                        help="shard each image's H axis over the --mesh "
+                             "devices (ppermute halo exchange; exact for "
+                             "receptive field <= 20 px, same tolerance as "
+                             "the reference's forward_chop shave)")
     args = parser.parse_args(argv)
 
     from dasr_tpu.utils.runtime import setup_runtime
@@ -40,6 +50,13 @@ def main(argv=None):
     model = create_model(opt)
     model.init()
     model.load()
+    if args.mesh:
+        from dasr_tpu.core import mesh as meshlib
+
+        model.prepare_mesh(
+            meshlib.make_mesh(n_data=args.mesh),
+            spatial_shard=args.spatial_shard,
+        )
 
     lpips_fn = None
     if opt.get("val_lpips"):

@@ -43,11 +43,23 @@ def spatially_sharded_apply(
     axis: str = "data",
 ) -> jax.Array:
     """Run an x`scale` NHWC->NHWC zero-padded conv model over an image whose
-    H axis is sharded over ``axis``. H must be divisible by the axis size
-    and the per-device slice must be >= halo."""
+    H axis is sharded over ``axis``.
+
+    H not divisible by the axis size is reflect-padded up to the next
+    multiple (and the output cropped back); the per-device slice (after
+    padding) must be >= halo. Rows within ``halo`` of the true bottom edge
+    are recomputed from the *original* image so the reflect padding never
+    leaks into the result — output is exact for any model whose receptive
+    influence is <= halo (tested incl. uneven H in
+    tests/test_spatial_shard.py)."""
     n = mesh.shape[axis]
     b, h, w, c = img.shape
-    assert h % n == 0 and h // n >= halo, (h, n, halo)
+    orig = img
+    pad_h = (n - h % n) % n
+    if pad_h:
+        img = jnp.pad(img, ((0, 0), (0, pad_h), (0, 0), (0, 0)), mode="reflect")
+    hp = h + pad_h
+    assert hp // n >= halo, (h, n, halo)
 
     def local_fn(x):
         # x: (B, H/n, W, C) local shard
@@ -73,13 +85,16 @@ def spatially_sharded_apply(
     )
     img_sharded = jax.device_put(img, NamedSharding(mesh, P(None, axis)))
     out = fn(img_sharded)
+    if pad_h:
+        out = out[:, : h * scale]
 
     # Edge correction: at the true image top/bottom the exchanged halo is
-    # physical zeros, whose conv-bias activations differ from the model's
-    # *virtual* zero padding beyond the image. Recompute the two edge strips
-    # from the real image edges (receptive field <= halo keeps them exact).
-    top = model(img[:, : 2 * halo])[:, : halo * scale]
-    bot = model(img[:, -2 * halo :])[:, -halo * scale :]
+    # physical zeros (or reflect padding), whose conv activations differ
+    # from the model's *virtual* zero padding beyond the image. Recompute
+    # the two edge strips from the real image edges (receptive field <=
+    # halo keeps them exact).
+    top = model(orig[:, : 2 * halo])[:, : halo * scale]
+    bot = model(orig[:, -2 * halo :])[:, -halo * scale :]
     out = out.at[:, : halo * scale].set(top)
     out = out.at[:, -halo * scale :].set(bot)
     return out

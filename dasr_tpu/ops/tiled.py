@@ -144,7 +144,10 @@ def tiled_apply(
         n_dev = mesh.shape[axis]
         pad_n = (n_dev - n_tiles % n_dev) % n_dev
         if pad_n:
-            tiles = jnp.concatenate([tiles, tiles[:pad_n]], axis=0)
+            # wrap-repeat the tile batch (pad_n may exceed n_tiles when
+            # there are fewer tiles than devices)
+            reps = -(-(n_tiles + pad_n) // n_tiles)
+            tiles = jnp.concatenate([tiles] * reps, axis=0)[: n_tiles + pad_n]
         tiles = jax.device_put(tiles, NamedSharding(mesh, P(axis)))
 
     out_tiles = model(tiles)

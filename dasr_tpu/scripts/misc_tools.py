@@ -163,9 +163,101 @@ def _tool_lmdb(args):
     print(f"wrote {len(files)} entries to {args.out}")
 
 
+def _conv_stack(net: str, n_res_blocks: int, scale: int):
+    """[kernel, stride, pad] stack for the RF-analysis nets.
+
+    Mirrors the standalone net definitions in the reference's analysis
+    scripts (codes/SRN/scripts/DSN_stride.py, codes/DSN/receptive_cal.py
+    CONVNETS) using this repo's nn geometry (nn/generators.py)."""
+    from dasr_tpu.ops.rf_splat import CONVNETS
+
+    if net in CONVNETS:
+        return CONVNETS[net]
+    if net == "DSGAN":
+        return [[3, 1, 1]] * (2 + 2 * n_res_blocks)
+    if net == "DeResnet":
+        n_down = {1: 0, 2: 1, 4: 2}[scale]
+        return (
+            [[3, 1, 1]]
+            + [[3, 1, 1]] * (2 * n_res_blocks)
+            + [[3, 2, 1]] * n_down
+            + [[3, 1, 1]]
+        )
+    raise SystemExit(
+        f"unknown --net {net}; choose FSD, nld_s1, nld_s2, DSGAN, DeResnet"
+    )
+
+
+def _tool_rf_table(args):
+    """Per-layer receptive-field table (n, jump, rf, start) — the ported
+    function of the reference's standalone analysis scripts
+    (codes/SRN/scripts/DSN_stride.py, codes/DSN/receptive_cal.py:46-53)."""
+    from dasr_tpu.ops.rf_splat import receptive_field
+
+    stack = _conv_stack(args.net, args.n_res_blocks, args.scale)
+    print(f"--- {args.net} @ input {args.imsize} ---")
+    hdr = f"{'layer':>6} {'k':>3} {'s':>3} {'p':>3} {'n':>7} {'jump':>6} {'rf':>6} {'start':>9}"
+    print(hdr)
+    print(f"{'input':>6} {'':>3} {'':>3} {'':>3} {args.imsize:>7} {1:>6} {1:>6} {0.5:>9}")
+    for i in range(1, len(stack) + 1):
+        n, j, r, start = receptive_field(args.imsize, stack[:i])
+        k, s, pd = stack[i - 1]
+        print(f"{i:>6} {k:>3} {s:>3} {pd:>3} {n:>7} {j:>6} {r:>6} {start:>9}")
+
+
+def _tool_param_count(args):
+    """Parameter count of a network-factory G (the 'param analysis' half of
+    the reference's scripts/SRN.py standalone net definitions)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dasr_tpu.core.config import dict_to_nonedict
+    from dasr_tpu.models.registry import define_G
+
+    opt = dict_to_nonedict(
+        {
+            "scale": args.scale,
+            "network_G": {
+                "which_model_G": args.which_model_G,
+                "nf": args.nf, "nb": args.nb, "gc": args.gc,
+                "in_nc": 3, "out_nc": 3, "norm_type": None, "mode": "CNA",
+            },
+        }
+    )
+    model = define_G(opt)
+    lr = args.imsize
+    variables = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, lr, lr, 3))), jax.random.key(0)
+    )
+    total = sum(
+        int(np.prod(l.shape)) for l in jax.tree.leaves(variables)
+    )
+    print(f"{args.which_model_G}: {total:,} parameters")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="dasr_tpu offline tools")
     sub = p.add_subparsers(dest="tool", required=True)
+
+    rf = sub.add_parser(
+        "rf_table", help="per-layer receptive-field table for a conv stack"
+    )
+    rf.add_argument("--net", default="FSD")
+    rf.add_argument("--imsize", type=int, default=64)
+    rf.add_argument("--n_res_blocks", type=int, default=8)
+    rf.add_argument("--scale", type=int, default=4)
+    rf.set_defaults(fn=_tool_rf_table)
+
+    pc = sub.add_parser(
+        "param_count", help="parameter count of a network-factory G"
+    )
+    pc.add_argument("--which_model_G", default="RRDB_net")
+    pc.add_argument("--nf", type=int, default=64)
+    pc.add_argument("--nb", type=int, default=23)
+    pc.add_argument("--gc", type=int, default=32)
+    pc.add_argument("--scale", type=int, default=4)
+    pc.add_argument("--imsize", type=int, default=32)
+    pc.set_defaults(fn=_tool_param_count)
 
     bp = sub.add_parser("back_projection")
     bp.add_argument("--sr_dir", required=True)

@@ -27,6 +27,24 @@ def test_sharded_rrdb_matches_unsharded(rng):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_sharded_uneven_h_matches_unsharded(rng):
+    """H not divisible by the mesh axis: reflect-pad + crop + bottom-edge
+    recompute must still be exact (VERDICT r2 item #4's uneven-H case)."""
+    mesh = make_mesh(n_data=8)
+    model = RRDBNet(nf=16, nb=1, gc=8, upscale=4)
+    x = jnp.asarray(rng.random((1, 180, 32, 3)).astype(np.float32))  # 180 % 8 != 0
+    v = model.init(jax.random.key(0), x)
+
+    want = np.asarray(model.apply(v, x))
+    got = np.asarray(
+        spatially_sharded_apply(
+            x, lambda t: model.apply(v, t), scale=4, halo=20, mesh=mesh
+        )
+    )
+    assert got.shape == want.shape == (1, 720, 128, 3)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_sharded_identity_scale1(rng):
     mesh = make_mesh(n_data=8)
     x = jnp.asarray(rng.random((2, 64, 16, 3)).astype(np.float32))

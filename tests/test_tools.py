@@ -68,6 +68,27 @@ def test_misc_tools_color2gray_and_rename(tmp_path, rng):
     assert len(os.listdir(tmp_path / "gray")) == 3
 
 
+def test_misc_tools_rf_table_and_param_count(capsys):
+    """rf_table reproduces the reference receptive_cal FSD numbers
+    (DSN/receptive_cal.py __main__: rf 17, jump 1 after 4 5x5/s1 convs) and
+    param_count reproduces the known ESRGAN RRDB size."""
+    from dasr_tpu.scripts import misc_tools
+
+    misc_tools.main(["rf_table", "--net", "FSD", "--imsize", "64"])
+    out = capsys.readouterr().out
+    last = [l for l in out.strip().splitlines() if l.strip().startswith("4")][-1]
+    cols = last.split()
+    assert cols[4:7] == ["64", "1", "17"], cols
+
+    misc_tools.main(["rf_table", "--net", "nld_s2", "--imsize", "64"])
+    out = capsys.readouterr().out
+    assert "16" in out  # stride-2 stack halves n twice
+
+    misc_tools.main(["param_count", "--which_model_G", "RRDB_net"])
+    out = capsys.readouterr().out
+    assert "16,697,987" in out
+
+
 def test_misc_tools_extract_enlarge_patches(tmp_path, rng):
     from dasr_tpu.data.io import read_img
     from dasr_tpu.scripts import misc_tools
