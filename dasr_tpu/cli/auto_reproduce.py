@@ -91,7 +91,9 @@ def main(argv=None):
                          "--num_decay_epochs", str(max(1, args.num_epochs // 3))]
         if not args.no_fast_path:
             # exactness-tested perf path (BENCH_NOTES: 180.7 -> 57.8 ms/step)
-            dsn_args += ["--transfer_uint8", "--device_bicubic"]
+            # + decoded-image cache (few-core hosts are decode-bound)
+            dsn_args += ["--transfer_uint8", "--device_bicubic",
+                         "--decode_cache_gb", "24"]
         dsn_train.main(dsn_args)
         _tick("dsn_train", t0)
 
@@ -148,7 +150,9 @@ def main(argv=None):
     srn_args = ["-opt", derived]
     if not args.no_fast_path:
         # exactness-tested perf path (BENCH_NOTES: 141.8 -> 65.2 ms/step)
-        srn_args += ["--steps_per_call", "8", "--transfer_uint8"]
+        # + decoded-image cache (few-core hosts are decode-bound)
+        srn_args += ["--steps_per_call", "8", "--transfer_uint8",
+                     "--decode_cache_gb", "24"]
     srn_train.main(srn_args)
     _tick("srn_train", t0)
     if stage_times:

@@ -70,6 +70,12 @@ def build_argparser():
     p.add_argument("--transfer_uint8", action="store_true",
                    help="ship crops to the device as uint8 (4x less traffic; "
                         "cast to f32/255 on device, bit-exact)")
+    p.add_argument("--decode_cache_gb", type=float, default=None,
+                   help="in-RAM decoded-image cache budget (GiB). Epoch "
+                        "loops re-decode the same PNGs every epoch; on "
+                        "few-core hosts decode, not the TPU, bounds the "
+                        "step rate (data/io.py). Also via "
+                        "DASR_DECODE_CACHE_GB.")
     p.add_argument("--device_bicubic", action="store_true",
                    help="compute the MATLAB-bicubic LR target in-step on the "
                         "MXU instead of in host data workers (same resampling "
@@ -115,6 +121,11 @@ def main(argv=None):
         reg = dataset_paths(paths_yml, opt.dataset, opt.artifacts)
         source_dir, target_dir = reg["source"], reg["target"]
         valid_hr, valid_lr = reg.get("valid_hr"), reg.get("valid_lr")
+
+    if opt.decode_cache_gb is not None:
+        from dasr_tpu.data.io import enable_decode_cache
+
+        enable_decode_cache(opt.decode_cache_gb)
 
     train_set = DSNTrainDataset(
         source_dir, target_dir, crop_size=opt.crop_size,

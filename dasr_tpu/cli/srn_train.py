@@ -31,6 +31,12 @@ def main(argv=None):
                              "cast to f32/255 on device (4x less "
                              "host->device traffic; bit-exact for 8-bit "
                              "sources). Same as datasets.train.transfer_uint8.")
+    parser.add_argument("--decode_cache_gb", type=float, default=None,
+                        help="in-RAM decoded-image cache budget (GiB). "
+                             "Random-crop datasets decode a FULL image per "
+                             "crop every epoch; on few-core hosts decode "
+                             "bounds the step rate (data/io.py). Also via "
+                             "DASR_DECODE_CACHE_GB.")
     args = parser.parse_args(argv)
 
     from dasr_tpu.utils.runtime import setup_runtime
@@ -48,6 +54,11 @@ def main(argv=None):
     from dasr_tpu.models.registry import create_model
     from dasr_tpu.utils import guards
     from dasr_tpu.utils.metrics_writer import MetricsWriter
+
+    if args.decode_cache_gb is not None:
+        from dasr_tpu.data.io import enable_decode_cache
+
+        enable_decode_cache(args.decode_cache_gb)
 
     opt = parse_srn_options(args.opt, is_train=True)
     opt = check_resume(opt)

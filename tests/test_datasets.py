@@ -215,3 +215,37 @@ def test_loader_propagates_worker_errors(data_root):
 
     with _pytest.raises(ValueError, match="broken item"):
         next(iter(loader))
+
+
+def test_decode_cache_exact_and_bounded(tmp_path, rng):
+    """enable_decode_cache returns byte-identical reads, read-only entries,
+    and respects the budget."""
+    from dasr_tpu.data import io as dio
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"c{i}.png")
+        dio.save_img(rng.random((32, 32, 3)).astype(np.float32), p)
+        paths.append(p)
+
+    cold = [dio.read_img(p) for p in paths]
+    cold_u8 = [dio.read_img_u8(p) for p in paths]
+    try:
+        dio.enable_decode_cache(1.0)
+        warm1 = [dio.read_img(p) for p in paths]  # populates
+        warm2 = [dio.read_img(p) for p in paths]  # hits
+        for a, b, c in zip(cold, warm1, warm2):
+            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(a, c)
+        for a, b in zip(cold_u8, [dio.read_img_u8(p) for p in paths]):
+            np.testing.assert_array_equal(a, b)
+        # cached u8 reads are read-only views; float reads stay writable
+        assert not dio.read_img_u8(paths[0]).flags.writeable
+        assert dio.read_img(paths[0]).flags.writeable
+        # zero budget caches nothing
+        dio.enable_decode_cache(0)
+        assert not dio._CACHE
+        got = dio.read_img_u8(paths[0])
+        np.testing.assert_array_equal(got, cold_u8[0])
+    finally:
+        dio.enable_decode_cache(0)
