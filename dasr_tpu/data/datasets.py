@@ -69,6 +69,24 @@ def _rand_crop(img, size, rng):
     return img[top : top + size, left : left + size, :], (int(top), int(left))
 
 
+def _rand_crop_aligned(lr_img, lr_size, rng, hr_shape, scale):
+    """Random LR crop whose x`scale` HR window fits inside ``hr_shape``.
+
+    Strided-conv generators ceil-divide odd sizes, so a fake LR can be
+    1 px taller/wider than HR/scale; the reference's aligned HR slice then
+    truncates and default-collate stacking crashes
+    (LRHR_wavelet_unpairEq_fake_w_dataset.py:113-125 — its users modcrop
+    HRs first). Bounding the crop start keeps both windows full-size for
+    any image size; crash fixed per policy, identical behavior on
+    modcropped data."""
+    h, w = lr_img.shape[:2]
+    max_t = min(h - lr_size, (hr_shape[0] - lr_size * scale) // scale)
+    max_l = min(w - lr_size, (hr_shape[1] - lr_size * scale) // scale)
+    top = int(rng.integers(0, max(0, max_t) + 1))
+    left = int(rng.integers(0, max(0, max_l) + 1))
+    return lr_img[top : top + lr_size, left : left + lr_size, :], (top, left)
+
+
 class PairedDataset:
     """'LRHR' mode."""
 
@@ -96,7 +114,7 @@ class PairedDataset:
             lr = imresize_np(hr, 1.0 / self.scale)
         if self.phase == "train":
             lr_size = self.hr_size // self.scale
-            lr, (t, l) = _rand_crop(lr, lr_size, rng)
+            lr, (t, l) = _rand_crop_aligned(lr, lr_size, rng, hr.shape, self.scale)
             hr = hr[
                 t * self.scale : t * self.scale + self.hr_size,
                 l * self.scale : l * self.scale + self.hr_size,
@@ -169,7 +187,9 @@ class DASRUnpairedDataset:
 
         if self.phase == "train":
             lr_size = self.hr_size // self.scale
-            lr_fake_c, (t, l) = _rand_crop(lr_fake, lr_size, rng)
+            lr_fake_c, (t, l) = _rand_crop_aligned(
+                lr_fake, lr_size, rng, hr.shape, self.scale
+            )
             if fake_w is not None:
                 fake_w = fake_w[t : t + lr_size, l : l + lr_size, :]
             lr_real, _ = _rand_crop(lr_real, lr_size, rng)

@@ -249,3 +249,33 @@ def test_decode_cache_exact_and_bounded(tmp_path, rng):
         np.testing.assert_array_equal(got, cold_u8[0])
     finally:
         dio.enable_decode_cache(0)
+
+
+def test_ceil_size_fake_lr_crops_stack(tmp_path, rng):
+    """Non-scale-multiple HR (e.g. 94 px) + ceil-size fake LR (24 px): the
+    aligned crop must stay inside the HR so batches stack (the reference's
+    latent truncate-then-collate crash; users had to modcrop first)."""
+    for d in ("hr", "lr_fake", "lr_real", "ddm"):
+        (tmp_path / d).mkdir()
+    for i in range(4):
+        save_img(rng.random((94, 94, 3)).astype(np.float32),
+                 str(tmp_path / "hr" / f"i{i}.png"))
+        save_img(rng.random((24, 24, 3)).astype(np.float32),  # ceil(94/4)
+                 str(tmp_path / "lr_fake" / f"i{i}.png"))
+        save_img(rng.random((24, 24, 3)).astype(np.float32),
+                 str(tmp_path / "lr_real" / f"i{i}.png"))
+        np.save(str(tmp_path / "ddm" / f"i{i}.npy"),
+                rng.random((1, 1, 24, 24)).astype(np.float32))
+    ds = create_dataset({
+        "mode": "LRHR_wavelet_unpair_fake_weights_EQ", "phase": "train",
+        "scale": 4, "HR_size": 64,
+        "dataroot_HR": str(tmp_path / "hr"),
+        "dataroot_fake_LR": str(tmp_path / "lr_fake"),
+        "dataroot_real_LR": str(tmp_path / "lr_real"),
+        "dataroot_fake_weights": str(tmp_path / "ddm"),
+        "use_flip": True, "use_rot": True,
+    })
+    for epoch in range(3):
+        for batch in Loader(ds, batch_size=4, num_workers=2, seed=epoch):
+            assert batch["HR"].shape == (4, 64, 64, 3)
+            assert batch["LR_fake"].shape == (4, 16, 16, 3)

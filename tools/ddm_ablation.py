@@ -63,6 +63,7 @@ def main(argv=None):
             "--num_decay_epochs", str(max(1, args.dsn_epochs // 3)),
             "--val_interval", "10", "--save_model_interval", "10",
             "--transfer_uint8", "--device_bicubic",
+            "--decode_cache_gb", "8",
             "--experiments_root", exp, "--save_path", "dsn_abl",
         ])
 
@@ -132,7 +133,8 @@ def main(argv=None):
             json.dump(cfg, fh, indent=1)
         if not args.skip_train:
             srn_train.main(
-                ["-opt", cfg_path, "--steps_per_call", "8", "--transfer_uint8"]
+                ["-opt", cfg_path, "--steps_per_call", "8",
+                 "--transfer_uint8", "--decode_cache_gb", "8"]
             )
         runs[name] = os.path.join(args.work, "SRN_experiments", name)
 

@@ -39,8 +39,11 @@ def make_standin_pth(path: str, nb: int = 23, nf: int = 64, gc: int = 32,
     sd = {}
 
     def add(name, cin, cout, k=3):
-        sd[name + ".weight"] = torch.randn(cout, cin, k, k, generator=g) * 0.03
-        sd[name + ".bias"] = torch.randn(cout, generator=g) * 0.01
+        # kaiming-x0.1-like scale (the reference's G init, networks.py:15-30)
+        # keeps 69-RDB activations O(1), like a real trained checkpoint
+        std = 0.1 * (2.0 / (cin * k * k)) ** 0.5
+        sd[name + ".weight"] = torch.randn(cout, cin, k, k, generator=g) * std
+        sd[name + ".bias"] = torch.randn(cout, generator=g) * 0.005
 
     add("model.0", 3, nf)
     for i in range(nb):
@@ -129,7 +132,17 @@ def main(argv=None):
     p.add_argument("--work", default="/tmp/parity")
     p.add_argument("--n", type=int, default=3)
     p.add_argument("--nb", type=int, default=23)
+    p.add_argument("--cpu", action="store_true",
+                   help="run our side on CPU f32 (exact vs torch f32; the "
+                        "TPU default conv precision is low). Must be set "
+                        "via this flag — the axon sitecustomize ignores "
+                        "JAX_PLATFORMS in env.")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.work, exist_ok=True)
     pth = os.path.join(args.work, "standin_G.pth")
@@ -189,10 +202,19 @@ def main(argv=None):
             "ours_plain_vs_torch_full": (o_plain, t_full[:h, :w]),
             "ours_chop_vs_torch_chop": (o_chop, t_chop[:h, :w]),
         }
-        row = {"image": os.path.basename(f), "lr_shape": list(lr.shape)}
+        row = {
+            "image": os.path.basename(f),
+            "lr_shape": list(lr.shape),
+            "out_absmax": float(np.abs(t_full).max()),
+        }
         for k, (a, b) in pairs.items():
             d = np.abs(a.astype(np.float64) - b.astype(np.float64))
-            row[k] = {"max_abs": float(d.max()), "mean_abs": float(d.mean())}
+            scale = max(1.0, float(np.abs(b).max()))
+            row[k] = {
+                "max_abs": float(d.max()),
+                "mean_abs": float(d.mean()),
+                "max_rel_to_range": float(d.max()) / scale,
+            }
         report.append(row)
         print(json.dumps(row))
 
