@@ -143,7 +143,7 @@ def load_ddm(path: str) -> np.ndarray:
     create_dataset_modified.py:14-24,164); the SRN loader takes [0] and
     transposes (LRHR_wavelet_unpairEq_fake_w_dataset.py:64).
     """
-    arr = np.load(path)
+    arr = _decode_cached(path)  # .npy decodes cache like images
     arr = np.asarray(arr, dtype=np.float32)
     while arr.ndim > 2 and arr.shape[0] == 1:
         arr = arr[0]
@@ -154,7 +154,11 @@ def load_ddm(path: str) -> np.ndarray:
 
 def resize_linear(img: np.ndarray, w: int, h: int) -> np.ndarray:
     """cv2 bilinear resize (used for DDM -> LR-size alignment, reference:
-    ...fake_w_dataset.py:66)."""
+    ...fake_w_dataset.py:66). Same-size is the identity and is skipped —
+    gau/avg_pool DDMs are already LR-sized, and the full-size resize per
+    32-px crop was the SRN loader's hottest op on a 1-core host."""
+    if img.shape[0] == h and img.shape[1] == w:
+        return img if img.ndim == 3 else img[:, :, None]
     out = cv2.resize(img[:, :, 0] if img.ndim == 3 else img, (w, h),
                      interpolation=cv2.INTER_LINEAR)
     return out[:, :, None]
