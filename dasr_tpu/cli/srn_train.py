@@ -300,17 +300,65 @@ def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
         base = os.path.splitext(os.path.basename(data["HR_path"]))[0]
         save_img(sr, os.path.join(img_dir, f"{base}_{step}.png"))
 
-    # dispatch image i, drain i-1 (readback + host metrics overlap device)
-    dispatch = getattr(model, "test_async", model.test)
+    # Batched dispatch (opt-in ``"val_batch": K`` in the config):
+    # consecutive same-shape val images share one plain forward;
+    # protocol/metrics stay per-image (exactness-tested in
+    # tests/test_trainers_registry.py). Chunk i+1's dispatch overlaps
+    # chunk i's readback; items load lazily so ~2 chunks are resident.
+    # Default 1: measured on DIV2K-size val (255x169 LR, BENCH_NOTES r3)
+    # the batch-4 forward is slower than 4 pipelined singles (odd-size
+    # XLA tiling + host-side PSNR/SSIM dominating) and pays an extra
+    # first-shape compile — batching only wins for genuinely small val
+    # images (Set5-scale) where per-dispatch overhead dominates.
+    vb = int(opt.get("val_batch") or 1)
+    usable = (
+        vb > 1
+        and not opt.get("chop")
+        and not opt.get("pad_bucket")
+        and hasattr(model, "test_batch_async")
+        and getattr(model, "_mesh", None) is None
+    )
     inflight = None
-    for i in range(n):
-        data = val_set[i]
-        sr_dev = dispatch(data["LR"])
-        prev, inflight = inflight, (data, sr_dev)
-        if prev is not None:
-            drain(*prev)
-    if inflight is not None:
-        drain(*inflight)
+    if usable:
+        scale = opt.get("scale", 4)
+
+        def drain_chunk(chunk, sr_dev):
+            for j, d in enumerate(chunk):
+                lh, lw = d["LR"].shape[0], d["LR"].shape[1]
+                # same crop as _infer_dev's per-image return (a no-op
+                # slice here: the batch is unpadded same-shape)
+                drain(d, sr_dev[j, : scale * lh, : scale * lw])
+
+        def dispatch_chunk(chunk):
+            nonlocal inflight
+            sr_dev = model.test_batch_async([d["LR"] for d in chunk])
+            prev, inflight = inflight, (chunk, sr_dev)
+            if prev is not None:
+                drain_chunk(*prev)
+
+        cur = []
+        for i in range(n):
+            data = val_set[i]
+            if cur and (
+                len(cur) == vb or cur[0]["LR"].shape != data["LR"].shape
+            ):
+                dispatch_chunk(cur)
+                cur = []
+            cur.append(data)
+        if cur:
+            dispatch_chunk(cur)
+        if inflight is not None:
+            drain_chunk(*inflight)
+    else:
+        dispatch = getattr(model, "test_async", model.test)
+        for i in range(n):
+            data = val_set[i]
+            sr_dev = dispatch(data["LR"])
+            prev, inflight = inflight, (data, sr_dev)
+            if prev is not None:
+                drain(*prev)
+        if inflight is not None:
+            drain(*inflight)
     avg = average(results)
     msg = f"# Validation # PSNR: {avg['psnr']:.4e}"
     if "lpips" in avg:

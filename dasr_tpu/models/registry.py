@@ -249,6 +249,17 @@ class _InferenceMixin:
         readback with the next image's device work."""
         return self._infer_dev(lr_img)
 
+    def test_batch_async(self, lr_imgs):
+        """One plain forward over a stack of SAME-SHAPE images (un-fenced).
+
+        Small val images leave the chip mostly idle at batch 1; validation
+        loops batch them (srn_train ``val_batch``). Plain path only — the
+        chop/mesh paths stay per-image."""
+        x = jnp.stack([jnp.asarray(im) for im in lr_imgs])
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        return self._apply_g(x)
+
     def _infer(self, lr_img: np.ndarray) -> np.ndarray:
         return np.asarray(self._infer_dev(lr_img))
 

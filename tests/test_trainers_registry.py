@@ -192,3 +192,21 @@ def test_adaptive_concat_variant(rng):
     w = jnp.zeros((1, 8, 8, 1))
     v = m.init(jax.random.key(0), x, w)
     assert m.apply(v, x, w).shape == (1, 32, 32, 3)
+
+
+def test_batched_val_matches_per_image(rng):
+    """`test_batch_async` (srn_train val_batch path) must be numerically
+    identical to the per-image plain forward — same `_apply_g`, just
+    stacked (VERDICT r2 weak #2 follow-on: batched validation)."""
+    opt = {"model": "sr", "scale": 4, "network_G": BASE_NET_G,
+           "train": {"lr_G": 1e-4, "lr_steps": [10], "pixel_criterion": "l1"}}
+    m = create_model(opt).init(lr_size=8)
+    imgs = [rng.random((8, 8, 3)).astype(np.float32) for _ in range(3)]
+    batched = np.asarray(m.test_batch_async(imgs))
+    for j, im in enumerate(imgs):
+        np.testing.assert_array_equal(batched[j], m.test(im))
+    # uint8 inputs follow the same /255 wire convention as test()
+    u8 = [(im * 255).astype(np.uint8) for im in imgs]
+    batched_u8 = np.asarray(m.test_batch_async(u8))
+    for j, im in enumerate(u8):
+        np.testing.assert_array_equal(batched_u8[j], m.test(im))
