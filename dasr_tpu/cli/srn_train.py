@@ -299,6 +299,50 @@ def _save_tsamples(model, val_set, opt, step, writer=None):
             save_img(gt_hf, os.path.join(out_dir, f"{i}_HR_hf.png"))
 
 
+def _make_dev_val_metrics(scale, lpips_fn):
+    """Jitted SRN-protocol val metrics: f32 [0,1] SR + uint8 HR ->
+    stacked [psnr, ssim, psnr_y, ssim_y(, lpips)] in ONE dispatch.
+
+    Replicates eval/evaluate.sr_metrics (uint8 roundtrip, scale-px border
+    crop, MATLAB Y channel — SRN/test.py:84-118) on device in f32; deltas
+    vs the f64 host protocol are < 1e-3 dB / 1e-4 SSIM (tested in
+    tests/test_trainers_registry.py). One compile per distinct image
+    shape (~2 min each through a remote tunnel) — best for same-size val
+    sets; the host path stays the default.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dasr_tpu.ops.metrics import psnr_device, ssim_device
+
+    @jax.jit
+    def fn(sr, hr_u8):
+        sr8 = jnp.round(jnp.clip(sr, 0.0, 1.0) * 255.0)
+        hr = hr_u8.astype(jnp.float32)
+        c = scale
+        a = sr8[c:-c, c:-c, :][None]
+        b = hr[c:-c, c:-c, :][None]
+        # y = rgb_255 @ coef / 255 + 16 (ops/metrics._ycbcr float path)
+        coef = jnp.asarray([65.481, 128.553, 24.966], jnp.float32)
+        ay = ((sr8 @ coef) / 255.0 + 16.0)[c:-c, c:-c][None, :, :, None]
+        by = ((hr @ coef) / 255.0 + 16.0)[c:-c, c:-c][None, :, :, None]
+        vals = [
+            psnr_device(a, b, 255.0)[0],
+            ssim_device(a, b)[0],
+            psnr_device(ay, by, 255.0)[0],
+            ssim_device(ay, by)[0],
+        ]
+        if lpips_fn is not None:
+            vals.append(
+                lpips_fn.raw(
+                    sr8[None] / 127.5 - 1.0, hr[None] / 127.5 - 1.0
+                ).reshape(())
+            )
+        return jnp.stack(vals)
+
+    return fn
+
+
 def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
     import numpy as np
 
@@ -316,11 +360,18 @@ def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
         )
     img_dir = os.path.join(opt["path"]["val_images"], str(step))
 
-    def drain(data, sr_dev):
+    def drain(data, sr_dev, met_dev=None):
         sr = np.asarray(sr_dev)
-        m = sr_metrics(
-            to_uint8(sr), to_uint8(data["HR"]), opt.get("scale", 4), lpips_fn
-        )
+        if met_dev is not None:
+            v = np.asarray(met_dev)
+            m = {"psnr": float(v[0]), "ssim": float(v[1]),
+                 "psnr_y": float(v[2]), "ssim_y": float(v[3])}
+            if lpips_fn is not None:
+                m["lpips"] = float(v[4])
+        else:
+            m = sr_metrics(
+                to_uint8(sr), to_uint8(data["HR"]), opt.get("scale", 4), lpips_fn
+            )
         results.append(m)
         base = os.path.splitext(os.path.basename(data["HR_path"]))[0]
         save_img(sr, os.path.join(img_dir, f"{base}_{step}.png"))
@@ -376,10 +427,27 @@ def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
             drain_chunk(*inflight)
     else:
         dispatch = getattr(model, "test_async", model.test)
+        # opt-in ``"val_device_metrics": true``: PSNR/SSIM (+Y) and LPIPS
+        # computed on device in one dispatch per image — the host f64
+        # metric path costs ~1 s/image of single-core SSIM/YCbCr work,
+        # which at val_freq 2500 over 350k iters is over an hour of val
+        # overhead. Same pipelining; PNG saves still happen host-side.
+        dev_fn = None
+        if (
+            opt.get("val_device_metrics")
+            and not opt.get("chop")
+            and not opt.get("pad_bucket")
+            and getattr(model, "_mesh", None) is None
+        ):
+            dev_fn = _make_dev_val_metrics(opt.get("scale", 4), lpips_fn)
         for i in range(n):
             data = val_set[i]
             sr_dev = dispatch(data["LR"])
-            prev, inflight = inflight, (data, sr_dev)
+            met_dev = (
+                dev_fn(sr_dev, to_uint8(data["HR"])) if dev_fn is not None
+                else None
+            )
+            prev, inflight = inflight, (data, sr_dev, met_dev)
             if prev is not None:
                 drain(*prev)
         if inflight is not None:

@@ -70,3 +70,24 @@ def test_modcrop():
     assert modcrop(img, 4).shape == (12, 8, 3)
     img2 = np.zeros((12, 8))
     assert modcrop(img2, 4).shape == (12, 8)
+
+
+def test_dev_val_metrics_matches_host_protocol(rng):
+    """srn_train ``val_device_metrics``: the jitted device metrics must
+    match eval/evaluate.sr_metrics (uint8 roundtrip, border crop, MATLAB
+    Y channel) within f32 tolerance."""
+    from dasr_tpu.cli.srn_train import _make_dev_val_metrics
+    from dasr_tpu.eval.evaluate import sr_metrics, to_uint8
+
+    scale = 4
+    sr = rng.random((40, 56, 3)).astype(np.float32)
+    hr = np.clip(
+        sr + rng.normal(0, 0.03, sr.shape), 0, 1
+    ).astype(np.float32)
+    hr_u8 = to_uint8(hr)
+    want = sr_metrics(to_uint8(sr), hr_u8, scale, None)
+    got = np.asarray(_make_dev_val_metrics(scale, None)(jnp.asarray(sr), hr_u8))
+    assert abs(got[0] - want["psnr"]) < 1e-3
+    assert abs(got[1] - want["ssim"]) < 1e-4
+    assert abs(got[2] - want["psnr_y"]) < 1e-3
+    assert abs(got[3] - want["ssim_y"]) < 1e-4
