@@ -80,6 +80,12 @@ def build_argparser():
                    help="compute the MATLAB-bicubic LR target in-step on the "
                         "MXU instead of in host data workers (same resampling "
                         "matrices)")
+    p.add_argument("--no_bf16", dest="bf16", action="store_false",
+                   help="run G/D/LPIPS in float32 instead of bfloat16. "
+                        "Default is bf16 compute (f32 params/losses) — the "
+                        "repo-wide convention the SRN trainers already use; "
+                        "measured 51.4 -> 35.8 ms/step on the production "
+                        "DSN step (BENCH_NOTES r3)")
     p.add_argument("--no_saving", dest="saving", action="store_false")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--paths_yml", default=None, type=str)
@@ -99,6 +105,7 @@ def main(argv=None):
     setup_runtime()
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from dasr_tpu.core import mesh as meshlib
@@ -152,6 +159,7 @@ def main(argv=None):
         use_per_loss=opt.use_per_loss, per_type=opt.per_type,
         learning_rate=opt.learning_rate, adam_beta_1=opt.adam_beta_1,
         disc_freq=opt.disc_freq, gen_freq=opt.gen_freq,
+        dtype=jnp.bfloat16 if opt.bf16 else None,
     )
     trainer = DSNTrainer(cfg, mesh=mesh, schedule=schedule)
     lr_size = (opt.crop_size - opt.crop_size % opt.upscale_factor) // opt.upscale_factor
@@ -211,6 +219,39 @@ def main(argv=None):
             return meshlib.shard_stacked_batch(mesh, tree)
         return meshlib.shard_batch(mesh, tree)
 
+    # Metrics of dispatch N are read back only after dispatch N+1 is queued
+    # (lagged), and only when N crossed a 50-iter log boundary. Reading the
+    # CURRENT dispatch fenced the whole queue — a full drain every 50 iters
+    # that left the device idle while the host re-filled the pipeline
+    # (measured: the drain cost ~30-40 ms/step of "fence" wall; BENCH_NOTES
+    # r3 "DSN lagged readback"). Same gating srn_train ships; print cadence,
+    # values and the NaN assert (DSN/train.py:262) are unchanged, one
+    # window late. A periodic fence bounds the device-side input queue.
+    lagged = None  # (iteration, device_metrics)
+    runahead = 0
+
+    def drain_window(window, force=False):
+        nonlocal runahead
+        it_at, dev_m = window
+        if writer and (force or it_at // 50 > (it_at - k_steps) // 50):
+            host_metrics = metrics_to_host(dev_m)
+            if not force:
+                # NaN guard at the historical 50-iter cadence only (the
+                # reference asserts at log time, DSN/train.py:262); the
+                # force path is an end-of-run fence, not a guard point —
+                # sub-50-iter smoke runs (e.g. LPIPS-degenerate tiny crops)
+                # were never checked before and must not start failing.
+                from dasr_tpu.utils.guards import check_finite
+
+                check_finite(host_metrics, it_at)
+            writer.write(it_at, host_metrics)
+            runahead = 0
+        else:
+            runahead += 1
+            if runahead >= 32:
+                metrics_to_host(dev_m)
+                runahead = 0
+
     iteration = 0
     pending = []
     for epoch in range(start_epoch, opt.num_epochs + 1):
@@ -235,13 +276,9 @@ def main(argv=None):
                 do_d = iteration % opt.disc_freq == 0
                 do_g = iteration % opt.gen_freq == 0
                 state, metrics = trainer.train_step(state, dev, do_g=do_g, do_d=do_d)
-            if writer and iteration // 50 > (iteration - k_steps) // 50:
-                host_metrics = metrics_to_host(metrics)
-                # the reference asserts on NaN generator loss (DSN/train.py:262)
-                from dasr_tpu.utils.guards import check_finite
-
-                check_finite(host_metrics, iteration)
-                writer.write(iteration, host_metrics)
+            prev, lagged = lagged, (iteration, metrics)
+            if prev is not None:
+                drain_window(prev)
             if opt.debug:
                 break
         if opt.debug:
@@ -325,10 +362,14 @@ def main(argv=None):
         pending = []
         state, metrics = trainer.train_multi_step(state, put(stacked, stacked=True))
         iteration += n_flush
-        if writer:
-            writer.write(
-                iteration, metrics_to_host({k: v[-1] for k, v in metrics.items()})
-            )
+        prev, lagged = lagged, (iteration, {k: v[-1] for k, v in metrics.items()})
+        if prev is not None:
+            drain_window(prev)
+    if lagged is not None:
+        # final window: always read back (fences training; the flush write
+        # keeps the reference's end-of-run metrics line)
+        drain_window(lagged, force=True)
+        lagged = None
 
     if opt.saving:
         # always leave a final checkpoint (the reference's last_iteration.tar

@@ -1,0 +1,135 @@
+"""Profile the production DSN train step on the real chip.
+
+Runs the aim2019 Auto_Reproduce stage-1 configuration (DeResnet + FSD +
+avg_pool, bs 8, crop 256, in-step device bicubic — reference:
+codes/DSN/train.py:24-73 defaults + launchers/auto_reproduce gains) for
+a few steps under ``jax.profiler.trace`` and prints the device-op time
+aggregated by fusion name, so the 51 ms/step device cost can be
+attributed before attacking it.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_dsn_step.py \
+      [n_steps] [--k K] [--trace /tmp/dsnprof]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import time
+from collections import defaultdict
+
+
+def parse_trace(trace_dir: str, top: int = 30):
+    """Aggregate device-lane op durations from the newest xplane trace."""
+    paths = sorted(
+        glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        print(f"no trace found under {trace_dir}")
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # device lanes: pid whose process_name mentions TPU/device XLA ops
+    pid_names = {}
+    tid_names = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev["args"].get("name", "")
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            tid_names[(ev["pid"], ev["tid"])] = ev["args"].get("name", "")
+    dev_pids = {
+        p for p, n in pid_names.items()
+        if "TPU" in n or "/device" in n or "Device" in n
+    }
+    agg = defaultdict(float)
+    count = defaultdict(int)
+    total = 0.0
+    for ev in events:
+        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+            continue
+        lane = tid_names.get((ev["pid"], ev["tid"]), "")
+        # XLA op lanes carry individual fusions; skip step/module summary lanes
+        if "XLA Modules" in lane or "Steps" in lane:
+            continue
+        name = ev.get("name", "?")
+        dur = float(ev.get("dur", 0.0))
+        agg[name] += dur
+        count[name] += 1
+        total += dur
+    print(f"\ndevice lanes total: {total / 1e3:.2f} ms over {len(agg)} distinct ops")
+    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {dur / 1e3:8.3f} ms  x{count[name]:<5d} {name[:110]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_steps", nargs="?", type=int, default=12)
+    ap.add_argument("--k", type=int, default=1, help="steps_per_call")
+    ap.add_argument("--trace", default="/tmp/dsnprof")
+    ap.add_argument("--crop", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--parse_only", action="store_true")
+    args = ap.parse_args()
+
+    if args.parse_only:
+        parse_trace(args.trace)
+        return
+
+    from dasr_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dasr_tpu.train.dsn_trainer import DSNConfig, DSNTrainer
+
+    cfg = DSNConfig(filter="avg_pool", w_tex=0.006, dtype=jnp.bfloat16)
+    trainer = DSNTrainer(cfg)
+    lr = args.crop // cfg.upscale_factor
+    state = trainer.init_state(jax.random.key(0), lr_size=lr, hr_size=args.crop)
+
+    rng = np.random.default_rng(0)
+    pre = (args.k,) if args.k > 1 else ()
+    batch = {
+        # no "bicubic" key -> in-step device MATLAB bicubic (the AR fast path)
+        "input": jnp.asarray(
+            rng.random((*pre, args.batch, args.crop, args.crop, 3)), jnp.float32
+        ),
+        "disc": jnp.asarray(rng.random((*pre, args.batch, lr, lr, 3)), jnp.float32),
+    }
+    if args.k > 1:
+        step = lambda st: trainer.train_multi_step(st, batch)  # noqa: E731
+        fence = lambda m: float(m["loss/g_overall_loss"][-1])  # noqa: E731
+    else:
+        step = lambda st: trainer.train_step(st, batch)  # noqa: E731
+        fence = lambda m: float(m["loss/g_overall_loss"])  # noqa: E731
+
+    state, metrics = step(state)
+    fence(metrics)  # compile fence
+    state, metrics = step(state)
+    fence(metrics)  # steady state
+
+    t0 = time.perf_counter()
+    for _ in range(args.n_steps):
+        state, metrics = step(state)
+    fence(metrics)
+    dt = (time.perf_counter() - t0 - 0.035) / (args.n_steps * args.k)
+    print(f"back-to-back: {dt * 1e3:.2f} ms/step "
+          f"({args.batch / dt:.1f} imgs/s), k={args.k}")
+
+    with jax.profiler.trace(args.trace):
+        for _ in range(4):
+            state, metrics = step(state)
+        fence(metrics)
+    parse_trace(args.trace)
+
+
+if __name__ == "__main__":
+    main()
