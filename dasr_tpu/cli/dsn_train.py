@@ -233,18 +233,24 @@ def main(argv=None):
     def drain_window(window, force=False):
         nonlocal runahead
         it_at, dev_m = window
-        if writer and (force or it_at // 50 > (it_at - k_steps) // 50):
+        boundary = it_at // 50 > (it_at - k_steps) // 50
+        if writer and (force or boundary):
             host_metrics = metrics_to_host(dev_m)
-            if not force:
+            if boundary:
                 # NaN guard at the historical 50-iter cadence only (the
-                # reference asserts at log time, DSN/train.py:262); the
-                # force path is an end-of-run fence, not a guard point —
-                # sub-50-iter smoke runs (e.g. LPIPS-degenerate tiny crops)
-                # were never checked before and must not start failing.
+                # reference asserts at log time, DSN/train.py:262) — also
+                # when the final forced flush happens to land on a
+                # boundary. Off-boundary force flushes stay unguarded:
+                # sub-50-iter smoke runs (e.g. LPIPS-degenerate tiny
+                # crops) were never checked before and must not start
+                # failing.
                 from dasr_tpu.utils.guards import check_finite
 
                 check_finite(host_metrics, it_at)
             writer.write(it_at, host_metrics)
+            runahead = 0
+        elif force:
+            metrics_to_host(dev_m)  # fence-only (e.g. --no_saving runs)
             runahead = 0
         else:
             runahead += 1

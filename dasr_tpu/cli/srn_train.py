@@ -299,6 +299,9 @@ def _save_tsamples(model, val_set, opt, step, writer=None):
             save_img(gt_hf, os.path.join(out_dir, f"{i}_HR_hf.png"))
 
 
+_dev_val_metrics_cache = {}
+
+
 def _make_dev_val_metrics(scale, lpips_fn):
     """Jitted SRN-protocol val metrics: f32 [0,1] SR + uint8 HR ->
     stacked [psnr, ssim, psnr_y, ssim_y(, lpips)] in ONE dispatch.
@@ -306,14 +309,19 @@ def _make_dev_val_metrics(scale, lpips_fn):
     Replicates eval/evaluate.sr_metrics (uint8 roundtrip, scale-px border
     crop, MATLAB Y channel — SRN/test.py:84-118) on device in f32; deltas
     vs the f64 host protocol are < 1e-3 dB / 1e-4 SSIM (tested in
-    tests/test_trainers_registry.py). One compile per distinct image
-    shape (~2 min each through a remote tunnel) — best for same-size val
-    sets; the host path stays the default.
+    tests/test_metrics.py). One compile per distinct image shape (~2 min
+    each through a remote tunnel) — best for same-size val sets; the host
+    path stays the default. The jitted closure is cached per
+    (scale, lpips_fn) so repeated validation passes reuse one trace.
     """
     import jax
     import jax.numpy as jnp
 
     from dasr_tpu.ops.metrics import psnr_device, ssim_device
+
+    key = (scale, id(lpips_fn))
+    if key in _dev_val_metrics_cache:
+        return _dev_val_metrics_cache[key]
 
     @jax.jit
     def fn(sr, hr_u8):
@@ -322,10 +330,15 @@ def _make_dev_val_metrics(scale, lpips_fn):
         c = scale
         a = sr8[c:-c, c:-c, :][None]
         b = hr[c:-c, c:-c, :][None]
-        # y = rgb_255 @ coef / 255 + 16 (ops/metrics._ycbcr float path)
+        # y = rgb_255 @ coef / 255 + 16 (ops/metrics._ycbcr float path).
+        # HIGHEST precision: the chip's default matmul precision (~2^-9
+        # relative on 255*128-scale values) would eat the <1e-3 dB parity.
         coef = jnp.asarray([65.481, 128.553, 24.966], jnp.float32)
-        ay = ((sr8 @ coef) / 255.0 + 16.0)[c:-c, c:-c][None, :, :, None]
-        by = ((hr @ coef) / 255.0 + 16.0)[c:-c, c:-c][None, :, :, None]
+        hi = jax.lax.Precision.HIGHEST
+        ay = ((jnp.matmul(sr8, coef, precision=hi)) / 255.0 + 16.0)[
+            c:-c, c:-c][None, :, :, None]
+        by = ((jnp.matmul(hr, coef, precision=hi)) / 255.0 + 16.0)[
+            c:-c, c:-c][None, :, :, None]
         vals = [
             psnr_device(a, b, 255.0)[0],
             ssim_device(a, b)[0],
@@ -340,6 +353,7 @@ def _make_dev_val_metrics(scale, lpips_fn):
             )
         return jnp.stack(vals)
 
+    _dev_val_metrics_cache[key] = fn
     return fn
 
 
@@ -396,6 +410,11 @@ def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
     )
     inflight = None
     if usable:
+        if opt.get("val_device_metrics") and logger is not None:
+            logger.info(
+                "val_batch > 1 takes precedence over val_device_metrics: "
+                "metrics run on the host f64 path for this validation"
+            )
         scale = opt.get("scale", 4)
 
         def drain_chunk(chunk, sr_dev):

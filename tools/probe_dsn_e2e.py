@@ -76,12 +76,17 @@ def main():
         loader.set_epoch(epoch)
         epoch += 1
         it = iter(loader)
+        wait_acc = 0.0
         while True:
             t0 = time.perf_counter()
             try:
                 batch = next(it)
             except StopIteration:
                 break
+            # accumulate loader-wait across ALL k fetches of a window (the
+            # early `continue` below would otherwise drop k-1 of them and
+            # mis-attribute that wall time to 'other')
+            wait_acc += time.perf_counter() - t0
             t1 = time.perf_counter()
             if k > 1:
                 pending.append(batch)
@@ -117,11 +122,12 @@ def main():
                 t_start = time.perf_counter()
                 iter_at_start = iteration
             elif windows > warm_windows:
-                seg["wait"] += t1 - t0
+                seg["wait"] += wait_acc
                 seg["stack"] += t2 - t1
                 seg["put"] += t3 - t2
                 seg["dispatch"] += t4 - t3
                 seg["fence"] += t5 - t4
+            wait_acc = 0.0
             if iteration >= args.steps + (warm_windows * k):
                 done = True
                 break
