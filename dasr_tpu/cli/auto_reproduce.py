@@ -56,7 +56,8 @@ def main(argv=None):
     p.add_argument("--no_fast_path", action="store_true",
                    help="disable the exactness-tested perf defaults "
                         "(steps_per_call scanning, uint8 transfer, in-step "
-                        "device bicubic) and run fully plain")
+                        "device bicubic, decode cache) AND the DSN stage's "
+                        "bf16 compute default, and run fully plain f32")
     args = p.parse_args(argv)
 
     import time
@@ -94,6 +95,10 @@ def main(argv=None):
             # + decoded-image cache (few-core hosts are decode-bound)
             dsn_args += ["--transfer_uint8", "--device_bicubic",
                          "--decode_cache_gb", "24"]
+        else:
+            # dsn_train defaults to bf16 compute; a "fully plain" run
+            # should also use the reference's f32 numerics
+            dsn_args += ["--no_bf16"]
         dsn_train.main(dsn_args)
         _tick("dsn_train", t0)
 
