@@ -47,18 +47,23 @@ def _high_t(x, k=5):
     return 0.5 + 0.5 * (x - low)
 
 
-def _fsd_t(sd, x):
-    """FSD body on the high-passed input: 3 convs 5x5 (+InstanceNorm
-    without affine on 2nd/3rd), LeakyReLU 0.2, 1x1 conv, sigmoid."""
+def _fsd_body_t(sd, x):
+    """FSD body (no filter front-end): 3 convs 5x5 (+InstanceNorm without
+    affine on 2nd/3rd), LeakyReLU 0.2, 1x1 conv, sigmoid."""
 
     def c(v, p, pad):
         return F.conv2d(v, sd[f"net.net.{p}.weight"], sd[f"net.net.{p}.bias"],
                         padding=pad)
 
-    v = F.leaky_relu(c(_high_t(x), 0, 2), 0.2)
+    v = F.leaky_relu(c(x, 0, 2), 0.2)
     v = F.leaky_relu(F.instance_norm(c(v, 2, 2)), 0.2)
     v = F.leaky_relu(F.instance_norm(c(v, 5, 2)), 0.2)
     return torch.sigmoid(c(v, 8, 0))
+
+
+def _fsd_t(sd, x):
+    """FSD with the avg-pool high-pass front-end."""
+    return _fsd_body_t(sd, _high_t(x))
 
 
 def _torch_dsn_step(g_sd, d_sd, lp, batch, opt_g, opt_d, cfg):
