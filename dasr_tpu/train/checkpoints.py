@@ -799,3 +799,64 @@ def import_sftnet_params(path_or_sd, n_blocks: int = 16) -> Dict[str, Any]:
     for i, j in enumerate((0, 2, 4, 6, 8)):
         params[f"cond{i}"] = conv(f"CondNet.{j}")
     return {"params": params}
+
+
+def export_sftnet_state_dict(variables: Dict, n_blocks: int = 16) -> Dict:
+    """flax SFTNet params -> SFT-GAN torch naming (inverse of
+    import_sftnet_params; reference module names sft_arch.py:40-75).
+
+    The two HR pixel-shuffle convs' output channels are permuted back from
+    flax's depth-to-space order (dy, dx, c) to torch ``PixelShuffle(2)``
+    order (c, dy, dx)."""
+    import torch
+
+    p = variables["params"]
+
+    def t(v):
+        return torch.from_numpy(np.array(v, dtype=np.float32, copy=True))
+
+    def conv(prefix, node):
+        return {
+            prefix + ".weight": t(_j2t_conv(np.asarray(node["kernel"]))),
+            prefix + ".bias": t(node["bias"]),
+        }
+
+    def conv_ps(prefix, node, r: int = 2):
+        k = np.asarray(node["kernel"])
+        b = np.asarray(node["bias"])
+        cout = k.shape[-1]
+        cc = cout // (r * r)
+        perm = (
+            np.arange(cout).reshape(cc, r, r).transpose(1, 2, 0).reshape(-1)
+        )
+        inv = np.argsort(perm)  # flax = torch[..., perm]  =>  torch = flax[..., inv]
+        return {
+            prefix + ".weight": t(_j2t_conv(np.ascontiguousarray(k[..., inv]))),
+            prefix + ".bias": t(np.ascontiguousarray(b[inv])),
+        }
+
+    def sft_layer(prefix, node):
+        sd = {}
+        sd.update(conv(prefix + ".SFT_scale_conv0", node["scale_conv0"]))
+        sd.update(conv(prefix + ".SFT_scale_conv1", node["scale_conv1"]))
+        sd.update(conv(prefix + ".SFT_shift_conv0", node["shift_conv0"]))
+        sd.update(conv(prefix + ".SFT_shift_conv1", node["shift_conv1"]))
+        return sd
+
+    sd: Dict[str, Any] = {}
+    sd.update(conv("conv0", p["conv0"]))
+    for i in range(n_blocks):
+        blk = p[f"block{i}"]
+        sd.update(sft_layer(f"sft_branch.{i}.sft0", blk["sft0"]))
+        sd.update(conv(f"sft_branch.{i}.conv0", blk["conv0"]))
+        sd.update(sft_layer(f"sft_branch.{i}.sft1", blk["sft1"]))
+        sd.update(conv(f"sft_branch.{i}.conv1", blk["conv1"]))
+    sd.update(sft_layer(f"sft_branch.{n_blocks}", p["sft_tail"]))
+    sd.update(conv(f"sft_branch.{n_blocks + 1}", p["conv_tail"]))
+    sd.update(conv_ps("HR_branch.0", p["up0"]))
+    sd.update(conv_ps("HR_branch.3", p["up1"]))
+    sd.update(conv("HR_branch.6", p["hr_conv"]))
+    sd.update(conv("HR_branch.8", p["out_conv"]))
+    for i, j in enumerate((0, 2, 4, 6, 8)):
+        sd.update(conv(f"CondNet.{j}", p[f"cond{i}"]))
+    return sd

@@ -147,3 +147,103 @@ def test_sftgan_cli(tmp_path):
 
     out = read_img(os.path.join(out_dir, "a_rlt.png"))
     assert out.shape == (40, 40, 3)
+
+
+def test_sftnet_export_import_roundtrip(rng):
+    """export_sftnet_state_dict is the exact inverse of
+    import_sftnet_params (incl. the PixelShuffle channel permutation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dasr_tpu.nn.sft import SFTNet
+    from dasr_tpu.train.checkpoints import (
+        export_sftnet_state_dict,
+        import_sftnet_params,
+    )
+
+    n_blocks = 2
+    model = SFTNet(n_blocks=n_blocks)
+    variables = model.init(
+        jax.random.key(3), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1, 32, 32, 8))
+    )
+    img = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    seg = jnp.asarray(rng.random((1, 32, 32, 8)).astype(np.float32))
+    want = np.asarray(model.apply(variables, img, seg))
+
+    sd = export_sftnet_state_dict(variables, n_blocks=n_blocks)
+    back = import_sftnet_params(
+        {k: v.numpy() for k, v in sd.items()}, n_blocks=n_blocks
+    )
+    got = np.asarray(model.apply(back, img, seg))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_transfer_params_sft_surgery(tmp_path, rng):
+    """--sft grafts the SRResNet torso into a fresh SFT net exactly like
+    transfer_params_sft.py:17-37; everything else is kaiming*0.1 weights /
+    zero biases; the result round-trips through import_sftnet_params."""
+    from dasr_tpu.scripts.transfer_params import main as tp_main
+
+    nb = 2
+
+    def conv(sd, name, cin, cout, k=3):
+        sd[name + ".weight"] = torch.tensor(
+            rng.normal(0, 0.1, (cout, cin, k, k)).astype(np.float32)
+        )
+        sd[name + ".bias"] = torch.tensor(
+            rng.normal(0, 0.1, (cout,)).astype(np.float32)
+        )
+
+    # SRResNet-shaped source (model.* naming, scripts/SRN.py layout)
+    src = {}
+    conv(src, "model.0", 3, 64)
+    for i in range(nb):
+        conv(src, f"model.1.sub.{i}.res.0", 64, 64)
+        conv(src, f"model.1.sub.{i}.res.2", 64, 64)
+    conv(src, f"model.1.sub.{nb}", 64, 64)
+    conv(src, "model.2", 64, 256)
+    conv(src, "model.5", 64, 256)
+    conv(src, "model.8", 64, 64)
+    conv(src, "model.10", 64, 3)
+    src_path = os.path.join(tmp_path, "srresnet.pth")
+    torch.save(src, src_path)
+
+    out_path = os.path.join(tmp_path, "sft_ini.pth")
+    tp_main(["--src", src_path, "--out", out_path, "--sft",
+             "--sft_nb", str(nb)])
+
+    out = torch.load(out_path, weights_only=True)
+    # grafted torso is bit-equal to the source
+    for dst, s in [
+        ("conv0", "model.0"),
+        (f"sft_branch.0.conv0", "model.1.sub.0.res.0"),
+        (f"sft_branch.{nb + 1}", f"model.1.sub.{nb}"),
+        ("HR_branch.0", "model.2"),
+        ("HR_branch.8", "model.10"),
+    ]:
+        np.testing.assert_array_equal(
+            out[dst + ".weight"].numpy(), src[s + ".weight"].numpy(), err_msg=dst
+        )
+        np.testing.assert_array_equal(
+            out[dst + ".bias"].numpy(), src[s + ".bias"].numpy(), err_msg=dst
+        )
+    # fresh parts: zero biases, nonzero small weights
+    assert float(out["CondNet.0.bias"].abs().max()) == 0.0
+    assert float(out["sft_branch.0.sft0.SFT_scale_conv0.bias"].abs().max()) == 0.0
+    w = out["CondNet.0.weight"].numpy()
+    assert 0 < np.abs(w).max() < 0.2
+    # and the result is importable as a flax SFTNet
+    from dasr_tpu.train.checkpoints import import_sftnet_params
+
+    params = import_sftnet_params(
+        {k: v.numpy() for k, v in out.items()}, n_blocks=nb
+    )
+    from dasr_tpu.nn.sft import SFTNet
+    import jax.numpy as jnp
+
+    y = SFTNet(n_blocks=nb).apply(
+        params,
+        jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32)),
+        jnp.asarray(rng.random((1, 32, 32, 8)).astype(np.float32)),
+    )
+    assert y.shape == (1, 32, 32, 3) and bool(jnp.isfinite(y).all())
