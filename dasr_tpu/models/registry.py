@@ -424,7 +424,12 @@ class DASRModel(_InferenceMixin):
             dtype=jnp.bfloat16 if opt.get("bf16", True) else None,
         )
         lpips_vars = _default_lpips_variables()
-        self.trainer = SRNTrainer(cfg, lpips_variables=lpips_vars, mesh=mesh)
+        # Build G through define_G so network_G's opt-in exact rewrites
+        # (scan_blocks / fused_tail, same param tree — see nn/generators.py)
+        # reach the TRAINING step too, not just inference facades.
+        self.trainer = SRNTrainer(
+            cfg, lpips_variables=lpips_vars, mesh=mesh, g_model=define_G(opt)
+        )
         self.state = None
         self._jit_apply = None
 
@@ -615,7 +620,9 @@ class SRGANModel(SRModel):
             d_init_iters=train.get("D_init_iters", 0) or 0,
             dtype=jnp.bfloat16 if opt.get("bf16", True) else None,
         )
-        self.trainer = SRGANTrainer(cfg, mesh=mesh)
+        # define_G honors network_G's opt-in exact rewrites
+        # (scan_blocks / fused_tail) in the training generator too
+        self.trainer = SRGANTrainer(cfg, mesh=mesh, g_model=define_G(opt))
         self.state = None
         self._jit_apply = None
 

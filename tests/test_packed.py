@@ -107,3 +107,45 @@ def test_rrdbnet_fused_tail_grads_match():
     g2 = jax.grad(loss(m2))(v)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_dasr_facade_train_step_with_scan_fused_matches_plain(rng):
+    """network_G.scan_blocks/fused_tail now reach the TRAINING generator
+    through the DASR facade (registry DASRModel -> define_G). The rewrites
+    are exact (same param tree), so two facades initialized from the same
+    seed must produce the same 2-step loss trajectory."""
+    from dasr_tpu.models.registry import create_model
+
+    def opt(extra):
+        return {
+            "model": "DASR", "scale": 4, "bf16": False, "multiweights": True,
+            "network_G": {"which_model_G": "RRDB_net", "nf": 16, "nb": 2,
+                          "gc": 8, "in_nc": 3, "out_nc": 3,
+                          "norm_type": None, **extra},
+            "network_D": {"nf": 16, "in_nc": 9, "n_layers": 2},
+            "train": {"lr_G": 1e-4, "lr_D": 1e-4, "lr_steps": [10 ** 6],
+                      "gan_H_target": 0.005, "gan_H_source": 0},
+        }
+
+    m_plain = create_model(opt({})).init(lr_size=8)
+    m_fast = create_model(
+        opt({"scan_blocks": True, "fused_tail": True})
+    ).init(lr_size=8)
+
+    batches = [
+        {
+            "LR_fake": rng.random((2, 8, 8, 3)).astype(np.float32),
+            "LR_real": rng.random((2, 8, 8, 3)).astype(np.float32),
+            "HR": rng.random((2, 32, 32, 3)).astype(np.float32),
+            "HR_unpair": rng.random((2, 32, 32, 3)).astype(np.float32),
+            "fake_w": rng.random((2, 4, 4, 1)).astype(np.float32),
+        }
+        for _ in range(2)
+    ]
+    for i, b in enumerate(batches):
+        got = m_fast.train_step(dict(b))
+        want = m_plain.train_step(dict(b))
+        for k, v in want.items():
+            np.testing.assert_allclose(
+                got[k], v, rtol=1e-4, atol=1e-6, err_msg=f"step {i}: {k}"
+            )
