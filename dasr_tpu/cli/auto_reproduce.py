@@ -58,6 +58,18 @@ def main(argv=None):
                         "(steps_per_call scanning, uint8 transfer, in-step "
                         "device bicubic, decode cache) AND the DSN stage's "
                         "bf16 compute default, and run fully plain f32")
+    p.add_argument("--srn_template", default=None,
+                   help="override the stage-3 config template JSON "
+                        "(default: dasr_tpu/configs/train_DASR_auto_reproduce"
+                        ".json; used by smoke tests to shrink the net)")
+    p.add_argument("--dsn_extra", default="",
+                   help="extra dsn_train args appended after the launcher "
+                        "set, whitespace-split (smoke tests: "
+                        "'--num_res_blocks 2 --crop_size 64 ...')")
+    p.add_argument("--dsn_create_extra", default="",
+                   help="extra dsn_create_dataset args (must mirror any "
+                        "architecture overrides in --dsn_extra, e.g. "
+                        "'--num_res_blocks 2')")
     args = p.parse_args(argv)
 
     import time
@@ -99,6 +111,8 @@ def main(argv=None):
             # dsn_train defaults to bf16 compute; a "fully plain" run
             # should also use the reference's f32 numerics
             dsn_args += ["--no_bf16"]
+        if args.dsn_extra:
+            dsn_args += args.dsn_extra.split()
         dsn_train.main(dsn_args)
         _tick("dsn_train", t0)
 
@@ -115,6 +129,7 @@ def main(argv=None):
                 "--paths_yml", paths_yml,
                 "--results_root", res_root,
             ]
+            + (args.dsn_create_extra.split() if args.dsn_create_extra else [])
         )
         _tick("dsn_create_dataset", t0)
 
@@ -122,7 +137,7 @@ def main(argv=None):
     from dasr_tpu.core.config import dataset_paths
 
     reg = dataset_paths(paths_yml, args.dataset, args.artifact)
-    template = os.path.join(
+    template = args.srn_template or os.path.join(
         os.path.dirname(__file__), "..", "configs",
         "train_DASR_auto_reproduce.json",
     )

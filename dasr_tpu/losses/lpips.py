@@ -78,6 +78,18 @@ class LPIPS(nn.Module):
         # one backbone pass over both images
         both = jnp.concatenate([in0, in1], axis=0)
         taps = backbone(both)
+        # Too-small inputs collapse a backbone stage to zero spatial size,
+        # and the spatial mean of an empty tap is a silent NaN. The
+        # reference's torch backbone raises here ("Output size is too
+        # small"); fail as loudly, at trace time (alex needs >= 32 px).
+        for feat in taps:
+            if feat.shape[-3] == 0 or feat.shape[-2] == 0:
+                raise ValueError(
+                    f"LPIPS(net={self.net!r}): input "
+                    f"{in0.shape[-3]}x{in0.shape[-2]} is too small — a "
+                    "backbone stage has zero spatial size (alex needs "
+                    ">= 32 px per side)"
+                )
         b = in0.shape[0]
 
         total = None

@@ -167,3 +167,16 @@ def test_l2_and_dssim_modes(rng):
     np.testing.assert_allclose(np.asarray(fn(a, b)), l2, rtol=1e-6)
     fn2 = create_dist_model("ssim")
     np.testing.assert_allclose(fn2(a, b), ds)
+
+
+def test_lpips_too_small_input_raises():
+    """Tiny inputs collapse an alex stage to zero spatial size; the torch
+    reference raises there, and so do we (instead of a silent NaN mean)."""
+    import pytest
+
+    from dasr_tpu.losses.lpips import LPIPS
+
+    m = LPIPS(net="alex")
+    x = jnp.zeros((1, 16, 16, 3))
+    with pytest.raises(ValueError, match="too small"):
+        m.init(jax.random.PRNGKey(0), x, x)
