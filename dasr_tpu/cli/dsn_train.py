@@ -52,6 +52,10 @@ def build_argparser():
     p.add_argument("--no_per_loss", dest="use_per_loss", action="store_false")
     p.add_argument("--lpips_rot_flip", action="store_true")
     p.add_argument("--per_type", default="LPIPS", type=str)
+    p.add_argument("--lpips_backbone", default=None, type=str,
+                   help="torchvision alexnet .pth for the LPIPS perceptual "
+                        "loss (also honors DASR_TPU_LPIPS_BACKBONE; "
+                        "random-init backbone otherwise — PARITY.md)")
     p.add_argument("--disc_freq", default=1, type=int)
     p.add_argument("--gen_freq", default=1, type=int)
     p.add_argument("--w_col", default=1, type=float)
@@ -161,7 +165,15 @@ def main(argv=None):
         disc_freq=opt.disc_freq, gen_freq=opt.gen_freq,
         dtype=jnp.bfloat16 if opt.bf16 else None,
     )
-    trainer = DSNTrainer(cfg, mesh=mesh, schedule=schedule)
+    lpips_vars = None
+    if opt.use_per_loss and opt.per_type == "LPIPS":
+        from dasr_tpu.losses.lpips import default_lpips_variables
+
+        lpips_vars = default_lpips_variables(
+            "alex", backbone_path=opt.lpips_backbone
+        )
+    trainer = DSNTrainer(cfg, mesh=mesh, schedule=schedule,
+                         lpips_variables=lpips_vars)
     lr_size = (opt.crop_size - opt.crop_size % opt.upscale_factor) // opt.upscale_factor
     state = trainer.init_state(jax.random.key(0), lr_size=lr_size, hr_size=opt.crop_size)
 

@@ -255,3 +255,25 @@ def reference_lin_weights_path(net: str = "alex", version: str = "0.1") -> Optio
         f"v{version}/{net}.pth"
     )
     return p if os.path.exists(p) else None
+
+
+def default_lpips_variables(net: str = "alex", backbone_path: Optional[str] = None,
+                            init_hw: int = 64):
+    """LPIPS variables for the training/eval loops: random-init structure,
+    the reference's bundled lin heads when mounted, and — when available —
+    a user-supplied torchvision backbone ``.pth`` (``backbone_path``
+    argument, or the ``DASR_TPU_LPIPS_BACKBONE`` environment variable; no
+    egress in this environment means backbones can only come from the
+    user). Random-init backbone otherwise — documented delta, PARITY.md."""
+    import jax
+
+    lpips = LPIPS(net=net)
+    z = jnp.zeros((1, init_hw, init_hw, 3))
+    base = lpips.init(jax.random.key(0), z, z)
+    backbone = backbone_path or os.environ.get("DASR_TPU_LPIPS_BACKBONE")
+    lin = reference_lin_weights_path(net)
+    if lin or (backbone and os.path.exists(backbone)):
+        return load_lpips_params(
+            net, lin_path=lin, backbone_path=backbone, base_params=base
+        )
+    return base

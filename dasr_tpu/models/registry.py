@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dasr_tpu.losses.lpips import LPIPS, load_lpips_params, reference_lin_weights_path
+from dasr_tpu.losses.lpips import (
+    LPIPS,
+    default_lpips_variables,
+    load_lpips_params,
+    reference_lin_weights_path,
+)
 from dasr_tpu.nn.generators import DSGANGenerator, DeResnet, RRDBNet, SRResNet
 from dasr_tpu.ops.tiled import forward_chop, tiled_apply
 from dasr_tpu.train import checkpoints
@@ -423,7 +428,7 @@ class DASRModel(_InferenceMixin):
             d_update_inter=train.get("D_update_inter", 1) or 1,
             dtype=jnp.bfloat16 if opt.get("bf16", True) else None,
         )
-        lpips_vars = _default_lpips_variables()
+        lpips_vars = _default_lpips_variables(opt)
         # Build G through define_G so network_G's opt-in exact rewrites
         # (scan_blocks / fused_tail, same param tree — see nn/generators.py)
         # reach the TRAINING step too, not just inference facades.
@@ -776,7 +781,7 @@ class DASRAdaptiveModel(_InferenceMixin):
                 ckpt.get("models_d_state_dict", ckpt), norm_layer=cfg.patchd_norm_layer
             )
         self.trainer = DASRAdaptiveTrainer(
-            cfg, lpips_variables=_default_lpips_variables(), mesh=mesh,
+            cfg, lpips_variables=_default_lpips_variables(opt), mesh=mesh,
             patchd_variables=patchd_variables,
         )
         self.state = None
@@ -834,15 +839,13 @@ class DASRAdaptiveModel(_InferenceMixin):
         return step
 
 
-def _default_lpips_variables():
-    """LPIPS variables with the reference's bundled lin heads if mounted."""
-    lpips = LPIPS(net="alex")
-    z = jnp.zeros((1, 64, 64, 3))
-    base = lpips.init(jax.random.key(0), z, z)
-    lin = reference_lin_weights_path("alex")
-    if lin:
-        return load_lpips_params("alex", lin_path=lin, base_params=base)
-    return base
+def _default_lpips_variables(opt=None):
+    """LPIPS variables: bundled lin heads if mounted, plus a user-supplied
+    torchvision backbone (config ``path.lpips_backbone`` or the
+    ``DASR_TPU_LPIPS_BACKBONE`` env var) — random-init backbone otherwise
+    (documented delta; no egress in this environment)."""
+    backbone = ((opt or {}).get("path") or {}).get("lpips_backbone")
+    return default_lpips_variables("alex", backbone_path=backbone)
 
 
 class DePatchModel(_InferenceMixin):
@@ -871,7 +874,7 @@ class DePatchModel(_InferenceMixin):
             dtype=jnp.bfloat16 if opt.get("bf16", True) else None,
         )
         self.trainer = DePatchTrainer(
-            cfg, lpips_variables=_default_lpips_variables(), g_model=define_G(opt)
+            cfg, lpips_variables=_default_lpips_variables(opt), g_model=define_G(opt)
         )
         self.state = None
         self._jit_apply = None

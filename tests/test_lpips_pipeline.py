@@ -122,3 +122,27 @@ def test_parity_cli_runs_random_init(tmp_path, rng, capsys):
     last = capsys.readouterr().out.strip().splitlines()[-1]
     payload = _json.loads(last)
     assert payload["weights_supplied"] is False
+
+
+def test_default_lpips_variables_env_backbone(tmp_path, monkeypatch):
+    """default_lpips_variables honors DASR_TPU_LPIPS_BACKBONE (and an
+    explicit backbone_path), so the TRAINING CLIs consume user-supplied
+    torchvision weights, not just the eval CLIs."""
+    from dasr_tpu.losses.lpips import default_lpips_variables
+
+    bpath = str(tmp_path / "alexnet.pth")
+    torch.save(_make_backbone_sd(), bpath)
+
+    base = default_lpips_variables("alex")
+    monkeypatch.setenv("DASR_TPU_LPIPS_BACKBONE", bpath)
+    via_env = default_lpips_variables("alex")
+    via_arg = default_lpips_variables("alex", backbone_path=bpath)
+
+    sd = _make_backbone_sd()
+    want = sd["features.0.weight"].numpy().transpose(2, 3, 1, 0)
+    for vars_, label in ((via_env, "env"), (via_arg, "arg")):
+        got = np.asarray(vars_["params"]["backbone"]["stack"]["conv0"]["kernel"])
+        np.testing.assert_allclose(got, want, atol=1e-7, err_msg=label)
+    # without the env var the backbone stays at its deterministic init
+    base2 = np.asarray(base["params"]["backbone"]["stack"]["conv0"]["kernel"])
+    assert np.abs(base2 - want).max() > 1e-3
