@@ -27,8 +27,14 @@ def main(argv=None):
                         "host f64 protocol by < 1e-4 — parity-tested). "
                         "Best for SAME-SIZE pairs: each distinct image shape "
                         "compiles its own program (~2 min each over a remote "
-                        "TPU tunnel), so for varied-size dirs (DIV2K-style) "
-                        "the host path is usually faster on first run")
+                        "TPU tunnel) — for varied-size dirs add --pad_bucket")
+    p.add_argument("--pad_bucket", type=int, default=0,
+                   help="with --device_metrics: zero-pad each pair up to a "
+                        "multiple of N so varied-size dirs share ONE "
+                        "compilation per bucket. EXACT for PSNR/PSNR_col/"
+                        "SSIM (masked sums; SSIM's valid window never reads "
+                        "padding). LPIPS cannot be masked exactly, so it "
+                        "still compiles per distinct shape")
     args = p.parse_args(argv)
 
     from dasr_tpu.utils.runtime import setup_runtime
@@ -60,7 +66,13 @@ def main(argv=None):
         import jax
         import jax.numpy as jnp
 
-        from dasr_tpu.ops.metrics import psnr_device, ssim_device
+        from dasr_tpu.ops.metrics import (
+            mean_color_device_masked,
+            psnr_device,
+            psnr_device_masked,
+            ssim_device,
+            ssim_device_masked,
+        )
 
         @jax.jit
         def dev_pair_fn(a_u8, b_u8):
@@ -87,13 +99,32 @@ def main(argv=None):
                 )
             return jnp.stack(vals)
 
+        @jax.jit
+        def dev_bucket_fn(a_u8, b_u8, h, w):
+            """Zero-padded uint8 HWC pair + true (h, w) ->
+            stacked [psnr, psnr_col, ssim] — one program per bucket."""
+            a = a_u8.astype(jnp.float32)[None]
+            b = b_u8.astype(jnp.float32)[None]
+            mc_a = mean_color_device_masked(a / 255.0, h, w)
+            mc_b = mean_color_device_masked(b / 255.0, h, w)
+            return jnp.stack([
+                psnr_device_masked(a, b, h, w, 255.0)[0],
+                10.0 * jnp.log10(1.0 / jnp.mean((mc_a - mc_b) ** 2)),
+                ssim_device_masked(a, b, h, w)[0],
+            ])
+
     def drain(entry):
         name, m, lp_dev = entry
         if args.device_metrics:
+            lp = None
+            if isinstance(lp_dev, tuple):  # bucketed path: (metrics, lpips)
+                lp_dev, lp = lp_dev
             vals = np.asarray(lp_dev)  # stacked device metrics
             m = {"psnr": float(vals[0]), "psnr_col": float(vals[1]),
                  "ssim": float(vals[2])}
-            if lpips_fn is not None:
+            if lp is not None:
+                m["lpips"] = float(np.asarray(lp))
+            elif lpips_fn is not None and vals.shape[0] > 3:
                 m["lpips"] = float(vals[3])
         elif lp_dev is not None:
             m["lpips"] = float(np.asarray(lp_dev).reshape(-1)[0])
@@ -115,8 +146,28 @@ def main(argv=None):
         if args.device_metrics:
             from dasr_tpu.utils.transfer import device_put_packed
 
-            up = device_put_packed({"a": a, "b": b}, u8_to_f32=False)
-            dev = dev_pair_fn(up["a"], up["b"])
+            if args.pad_bucket:
+                N = args.pad_bucket
+                hh, ww = a.shape[0], a.shape[1]
+                ph = (hh + N - 1) // N * N
+                pw = (ww + N - 1) // N * N
+                pa = np.zeros((ph, pw, a.shape[2]), a.dtype)
+                pb = np.zeros_like(pa)
+                pa[:hh, :ww], pb[:hh, :ww] = a, b
+                up = device_put_packed({"a": pa, "b": pb}, u8_to_f32=False)
+                dev = dev_bucket_fn(up["a"], up["b"], hh, ww)
+                if lpips_fn is not None:
+                    # LPIPS mixes padded pixels through its convs, so it
+                    # cannot be bucketed exactly — per-shape program
+                    up2 = device_put_packed({"a": a, "b": b}, u8_to_f32=False)
+                    lp = lpips_fn.raw(
+                        up2["a"].astype(np.float32)[None] / 127.5 - 1.0,
+                        up2["b"].astype(np.float32)[None] / 127.5 - 1.0,
+                    ).reshape(())
+                    dev = (dev, lp)
+            else:
+                up = device_put_packed({"a": a, "b": b}, u8_to_f32=False)
+                dev = dev_pair_fn(up["a"], up["b"])
             m = None
             lp_dev = dev
         else:

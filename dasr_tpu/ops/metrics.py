@@ -132,6 +132,77 @@ def ssim_device(img1: jax.Array, img2: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Masked (shape-bucketed) device metrics: images are zero-padded to a shared
+# bucket shape so varied-size pairs reuse ONE compiled program; the true
+# (h, w) arrive as dynamic scalars. EXACT, not approximate — PSNR/mean sums
+# are masked, and SSIM's VALID-conv map positions that fit entirely inside
+# the original image never read a padded pixel.
+# ---------------------------------------------------------------------------
+
+
+def _hw_mask(H: int, W: int, h, w):
+    rows = jnp.arange(H)[:, None] < h
+    cols = jnp.arange(W)[None, :] < w
+    return (rows & cols)[None, :, :, None].astype(jnp.float32)
+
+
+def psnr_device_masked(img1, img2, h, w, peak: float = 1.0):
+    """Batched PSNR over NHWC zero-padded images; true size (h, w)."""
+    x = img1.astype(jnp.float32)
+    y = img2.astype(jnp.float32)
+    mask = _hw_mask(x.shape[-3], x.shape[-2], h, w)
+    sse = jnp.sum(((x - y) ** 2) * mask, axis=(-3, -2, -1))
+    mse = sse / jnp.asarray(h * w * x.shape[-1], jnp.float32)
+    return 20.0 * jnp.log10(peak) - 10.0 * jnp.log10(mse)
+
+
+def mean_color_device_masked(img, h, w):
+    """Per-channel spatial mean of a zero-padded NHWC image (for PSNR_col)."""
+    x = img.astype(jnp.float32)
+    mask = _hw_mask(x.shape[-3], x.shape[-2], h, w)
+    return jnp.sum(x * mask, axis=(-3, -2)) / jnp.asarray(h * w, jnp.float32)
+
+
+def ssim_device_masked(img1, img2, h, w):
+    """Batched SSIM over zero-padded NHWC in [0,255]; true size (h, w).
+
+    Identical to ``ssim_device`` on the unpadded image: the 11x11 VALID
+    window means map position (i, j) depends only on pixels
+    [i:i+11, j:j+11], so positions with i <= h-11 and j <= w-11 are
+    untouched by padding; the mean runs over exactly those."""
+    c1 = (0.01 * 255) ** 2
+    c2 = (0.03 * 255) ** 2
+    w_k = jnp.asarray(_ssim_window(), dtype=jnp.float32)
+
+    def filt(x):
+        c = x.shape[-1]
+        k = jnp.tile(w_k[:, :, None, None], (1, 1, 1, c))
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    x = img1.astype(jnp.float32)
+    y = img2.astype(jnp.float32)
+    mu1, mu2 = filt(x), filt(y)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2
+    s1 = filt(x * x) - mu1_sq
+    s2 = filt(y * y) - mu2_sq
+    s12 = filt(x * y) - mu1_mu2
+    m = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
+    )
+    k = w_k.shape[0]  # 11
+    oh, ow = h - (k - 1), w - (k - 1)
+    mask = _hw_mask(m.shape[-3], m.shape[-2], oh, ow)
+    return jnp.sum(m * mask, axis=(1, 2, 3)) / jnp.asarray(
+        oh * ow * m.shape[-1], jnp.float32
+    )
+
+
+# ---------------------------------------------------------------------------
 # Color conversions (MATLAB parity, host numpy)
 # ---------------------------------------------------------------------------
 
