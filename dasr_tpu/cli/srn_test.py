@@ -36,8 +36,16 @@ def main(argv=None):
                              "~2 s of host f64 work (parity < 1e-3 dB / 1e-4 "
                              "SSIM, tested). Best for SAME-SIZE images: each "
                              "distinct HR shape compiles its own program "
-                             "(~2 min over a remote tunnel). Incompatible "
+                             "(~2 min over a remote tunnel) — for varied "
+                             "sizes add --metrics_pad_bucket. Incompatible "
                              "with --mesh (falls back to host metrics)")
+    parser.add_argument("--metrics_pad_bucket", type=int, default=0,
+                        help="with --device_metrics: zero-pad each SR/HR "
+                             "pair up to a multiple of N so varied-size "
+                             "test sets share ONE compiled metrics program "
+                             "per bucket (EXACT — masked kernels; LPIPS "
+                             "keeps the host path's per-shape program). "
+                             "Works with any SR source (plain/chop/mesh)")
     args = parser.parse_args(argv)
 
     from dasr_tpu.utils.runtime import setup_runtime
@@ -85,7 +93,14 @@ def main(argv=None):
         # dispatch per image (shared with srn_train's val_device_metrics;
         # same gating — the chop/pad_bucket/mesh paths keep host metrics)
         dev_fn = None
-        if (
+        bucket_fn = None
+        if args.device_metrics and args.metrics_pad_bucket:
+            # bucketed metrics run on the readback uint8 images, so they
+            # compose with any SR source (plain, chop, pad_bucket, mesh)
+            from dasr_tpu.cli.srn_train import _make_dev_val_metrics_bucketed
+
+            bucket_fn = _make_dev_val_metrics_bucketed(opt.get("scale", 4))
+        elif (
             args.device_metrics
             and not args.mesh
             and not opt.get("chop")
@@ -112,6 +127,27 @@ def main(argv=None):
                          "psnr_y": float(v[2]), "ssim_y": float(v[3])}
                     if lpips_fn is not None:
                         m["lpips"] = float(v[4])
+                elif bucket_fn is not None:
+                    from dasr_tpu.eval.evaluate import im2tensor_range
+                    from dasr_tpu.utils.transfer import device_put_packed
+
+                    sr8, hr8 = to_uint8(sr), to_uint8(data["HR"])
+                    N = args.metrics_pad_bucket
+                    hh, ww = sr8.shape[0], sr8.shape[1]
+                    ph = (hh + N - 1) // N * N
+                    pw = (ww + N - 1) // N * N
+                    pa = np.zeros((ph, pw, sr8.shape[2]), np.uint8)
+                    pb = np.zeros_like(pa)
+                    pa[:hh, :ww], pb[:hh, :ww] = sr8, hr8
+                    up = device_put_packed({"a": pa, "b": pb}, u8_to_f32=False)
+                    v = np.asarray(bucket_fn(up["a"], up["b"], hh, ww))
+                    m = {"psnr": float(v[0]), "ssim": float(v[1]),
+                         "psnr_y": float(v[2]), "ssim_y": float(v[3])}
+                    if lpips_fn is not None:
+                        m["lpips"] = float(
+                            lpips_fn(im2tensor_range(sr8)[None],
+                                     im2tensor_range(hr8)[None])
+                        )
                 else:
                     m = sr_metrics(
                         to_uint8(sr), to_uint8(data["HR"]), opt.get("scale", 4),

@@ -357,6 +357,49 @@ def _make_dev_val_metrics(scale, lpips_fn):
     return fn
 
 
+def _make_dev_val_metrics_bucketed(scale):
+    """Bucketed SRN-protocol metrics: zero-padded uint8 SR/HR pairs + the
+    true (h, w) -> stacked [psnr, ssim, psnr_y, ssim_y] with ONE compiled
+    program per bucket shape (varied-size test sets; srn_test
+    --metrics_pad_bucket). Exact vs the unpadded protocol: the masked
+    kernels (ops/metrics.py) never read a padded pixel. LPIPS cannot be
+    masked exactly and stays on the caller's per-shape path."""
+    import jax
+    import jax.numpy as jnp
+
+    from dasr_tpu.ops.metrics import psnr_device_masked, ssim_device_masked
+
+    key = ("bucket", scale)
+    if key in _dev_val_metrics_cache:
+        return _dev_val_metrics_cache[key]
+
+    @jax.jit
+    def fn(sr_u8, hr_u8, h, w):
+        sr8 = sr_u8.astype(jnp.float32)
+        hr = hr_u8.astype(jnp.float32)
+        c = scale
+        # static border slice; the padded tail keeps the valid region at
+        # origin 0 with extent (h - 2c, w - 2c)
+        a = sr8[c:-c, c:-c, :][None]
+        b = hr[c:-c, c:-c, :][None]
+        hh, ww = h - 2 * c, w - 2 * c
+        coef = jnp.asarray([65.481, 128.553, 24.966], jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        ay = ((jnp.matmul(sr8, coef, precision=hi)) / 255.0 + 16.0)[
+            c:-c, c:-c][None, :, :, None]
+        by = ((jnp.matmul(hr, coef, precision=hi)) / 255.0 + 16.0)[
+            c:-c, c:-c][None, :, :, None]
+        return jnp.stack([
+            psnr_device_masked(a, b, hh, ww, 255.0)[0],
+            ssim_device_masked(a, b, hh, ww)[0],
+            psnr_device_masked(ay, by, hh, ww, 255.0)[0],
+            ssim_device_masked(ay, by, hh, ww)[0],
+        ])
+
+    _dev_val_metrics_cache[key] = fn
+    return fn
+
+
 def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
     import numpy as np
 

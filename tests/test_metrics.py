@@ -91,3 +91,28 @@ def test_dev_val_metrics_matches_host_protocol(rng):
     assert abs(got[1] - want["ssim"]) < 1e-4
     assert abs(got[2] - want["psnr_y"]) < 1e-3
     assert abs(got[3] - want["ssim_y"]) < 1e-4
+
+
+def test_dev_val_metrics_bucketed_matches_host_protocol(rng):
+    """Bucketed (zero-padded + masked) SRN-protocol metrics equal the host
+    f64 protocol at the same tolerances as the unbucketed device path —
+    across DIFFERENT true sizes sharing one padded shape (the point of
+    --metrics_pad_bucket)."""
+    from dasr_tpu.cli.srn_train import _make_dev_val_metrics_bucketed
+    from dasr_tpu.eval.evaluate import sr_metrics, to_uint8
+
+    scale = 4
+    fn = _make_dev_val_metrics_bucketed(scale)
+    for h, w in ((40, 56), (47, 33)):
+        sr = rng.random((h, w, 3)).astype(np.float32)
+        hr = np.clip(sr + rng.normal(0, 0.03, sr.shape), 0, 1).astype(np.float32)
+        sr8, hr8 = to_uint8(sr), to_uint8(hr)
+        want = sr_metrics(sr8, hr8, scale, None)
+        pa = np.zeros((64, 64, 3), np.uint8)
+        pb = np.zeros_like(pa)
+        pa[:h, :w], pb[:h, :w] = sr8, hr8
+        got = np.asarray(fn(jnp.asarray(pa), jnp.asarray(pb), h, w))
+        assert abs(got[0] - want["psnr"]) < 1e-3, (h, w)
+        assert abs(got[1] - want["ssim"]) < 1e-4, (h, w)
+        assert abs(got[2] - want["psnr_y"]) < 1e-3, (h, w)
+        assert abs(got[3] - want["ssim_y"]) < 1e-4, (h, w)
