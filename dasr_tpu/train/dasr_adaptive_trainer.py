@@ -93,7 +93,8 @@ class DASRAdaptiveTrainer(SRNTrainer):
             else self.patchd_model.init(kp, z_lr)
         )
         if c.feature_criterion == "LPIPS" and self.lpips_variables is None:
-            z = jnp.zeros((1, hr, hr, 3))
+            s = max(hr, 32)  # LPIPS init needs >= 32 px (losses/lpips.py)
+            z = jnp.zeros((1, s, s, 3))
             self.lpips_variables = self.lpips.init(kl, z, z)
         base = GANTrainState(
             step=0,

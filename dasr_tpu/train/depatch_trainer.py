@@ -87,8 +87,9 @@ class DePatchTrainer:
         lr = hr_size // self.cfg.scale
         params_g = self.g_model.init(kg, jnp.zeros((1, hr_size, hr_size, 3)))
         params_d = self.d_model.init(kd, jnp.zeros((1, lr // 2, lr // 2, 9)))
-        if self.lpips_variables is None:
-            z = jnp.zeros((1, lr, lr, 3))
+        if (self.lpips_variables is None and self.cfg.feature_weight > 0
+                and self.cfg.feature_criterion == "LPIPS"):
+            z = jnp.zeros((1, max(lr, 32), max(lr, 32), 3))  # LPIPS needs >=32
             self.lpips_variables = self.lpips.init(kl, z, z)
         return GANTrainState(
             step=0,

@@ -111,9 +111,15 @@ class DSNTrainer:
         g_in = hr_size if self.cfg.generator == "DeResnet" else lr_size
         params_g = self.g_model.init(kg, jnp.zeros((1, g_in, g_in, 3)))
         params_d = self.d_model.init(kd, jnp.zeros((1, lr_size, lr_size, 3)))
-        if self.lpips_variables is None:
+        if self.lpips_variables is None and self.cfg.use_per_loss:
+            # only when the perceptual loss actually runs (configs without
+            # it must not pay LPIPS's size constraint), and at >= 32 px:
+            # LPIPS params are input-size-independent, and init below 32
+            # would raise (alex stages collapse; losses/lpips.py). A
+            # too-small TRAINING crop still fails loudly at step trace.
+            s = max(lr_size, 32)
             self.lpips_variables = self.lpips.init(
-                kl, jnp.zeros((1, lr_size, lr_size, 3)), jnp.zeros((1, lr_size, lr_size, 3))
+                kl, jnp.zeros((1, s, s, 3)), jnp.zeros((1, s, s, 3))
             )
         state = GANTrainState(
             step=0,

@@ -118,6 +118,9 @@ def test_dsn_create_dataset_cli_mesh_flag(rng, tmp_path):
         "--source_dir", str(src), "--target_dir", str(tgt),
         "--generator", "DeResnet", "--discriminator", "FSD",
         "--filter", "avg_pool", "--num_res_blocks", "1",
+        # crop 48 -> LR 12: below alex-LPIPS's 32-px floor (the torch
+        # reference also crashes there), so the per-loss must be off
+        "--no_per_loss",
         "--crop_size", "48", "--batch_size", "1", "--num_workers", "0",
         "--num_epochs", "1", "--num_decay_epochs", "1",
         "--val_interval", "5", "--save_model_interval", "1",
