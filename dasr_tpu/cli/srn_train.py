@@ -417,6 +417,17 @@ def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
         )
     img_dir = os.path.join(opt["path"]["val_images"], str(step))
 
+    # opt-in ``"val_metrics_pad_bucket": N`` (with val_device_metrics):
+    # bucketed masked metrics on the readback uint8 pair — one compiled
+    # program per bucket for varied-size val sets, any SR source
+    # (see srn_test --metrics_pad_bucket; LPIPS stays per-shape)
+    bucket_n = int(opt.get("val_metrics_pad_bucket") or 0)
+    bucket_fn = (
+        _make_dev_val_metrics_bucketed(opt.get("scale", 4))
+        if (opt.get("val_device_metrics") and bucket_n)
+        else None
+    )
+
     def drain(data, sr_dev, met_dev=None):
         sr = np.asarray(sr_dev)
         if met_dev is not None:
@@ -425,6 +436,26 @@ def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
                  "psnr_y": float(v[2]), "ssim_y": float(v[3])}
             if lpips_fn is not None:
                 m["lpips"] = float(v[4])
+        elif bucket_fn is not None:
+            from dasr_tpu.eval.evaluate import im2tensor_range
+            from dasr_tpu.utils.transfer import device_put_packed
+
+            sr8, hr8 = to_uint8(sr), to_uint8(data["HR"])
+            hh, ww = sr8.shape[0], sr8.shape[1]
+            ph = (hh + bucket_n - 1) // bucket_n * bucket_n
+            pw = (ww + bucket_n - 1) // bucket_n * bucket_n
+            pa = np.zeros((ph, pw, sr8.shape[2]), np.uint8)
+            pb = np.zeros_like(pa)
+            pa[:hh, :ww], pb[:hh, :ww] = sr8, hr8
+            up = device_put_packed({"a": pa, "b": pb}, u8_to_f32=False)
+            v = np.asarray(bucket_fn(up["a"], up["b"], hh, ww))
+            m = {"psnr": float(v[0]), "ssim": float(v[1]),
+                 "psnr_y": float(v[2]), "ssim_y": float(v[3])}
+            if lpips_fn is not None:
+                m["lpips"] = float(
+                    lpips_fn(im2tensor_range(sr8)[None],
+                             im2tensor_range(hr8)[None])
+                )
         else:
             m = sr_metrics(
                 to_uint8(sr), to_uint8(data["HR"]), opt.get("scale", 4), lpips_fn
@@ -497,6 +528,7 @@ def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
         dev_fn = None
         if (
             opt.get("val_device_metrics")
+            and bucket_fn is None  # bucketed path runs inside drain()
             and not opt.get("chop")
             and not opt.get("pad_bucket")
             and getattr(model, "_mesh", None) is None

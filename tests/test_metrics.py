@@ -116,3 +116,48 @@ def test_dev_val_metrics_bucketed_matches_host_protocol(rng):
         assert abs(got[1] - want["ssim"]) < 1e-4, (h, w)
         assert abs(got[2] - want["psnr_y"]) < 1e-3, (h, w)
         assert abs(got[3] - want["ssim_y"]) < 1e-4, (h, w)
+
+
+def test_validate_bucketed_config_path(tmp_path, rng):
+    """srn_train's ``val_metrics_pad_bucket`` config path: varied-size val
+    images through _validate produce the same averages as the host f64
+    protocol (and exercise the readback-side bucketed drain)."""
+    import logging
+
+    from dasr_tpu.cli.srn_train import _validate
+    from dasr_tpu.eval.evaluate import average, sr_metrics, to_uint8
+
+    class StubModel:
+        def test(self, lr):  # fake 4x SR: nearest upsample
+            return np.repeat(np.repeat(lr, 4, 0), 4, 1)
+
+    val_set = []
+    for i, (h, w) in enumerate([(12, 14), (9, 16)]):
+        lr = rng.random((h, w, 3)).astype(np.float32)
+        hr = rng.random((4 * h, 4 * w, 3)).astype(np.float32)
+        val_set.append({"LR": lr, "HR": hr, "HR_path": f"v{i}.png"})
+
+    class Writer:
+        def __init__(self):
+            self.rows = []
+
+        def write(self, step, d):
+            self.rows.append(d)
+
+    logger = logging.getLogger("test_validate_bucketed")
+    model = StubModel()
+
+    def run(opt_extra):
+        w = Writer()
+        opt = {"scale": 4,
+               "path": {"val_images": str(tmp_path / "vi")},
+               **opt_extra}
+        _validate(model, val_set, opt, 1, logger, w, None)
+        return w.rows[-1]
+
+    host = run({})
+    dev = run({"val_device_metrics": True, "val_metrics_pad_bucket": 32})
+    assert abs(dev["val/psnr"] - host["val/psnr"]) < 1e-3
+    assert abs(dev["val/ssim"] - host["val/ssim"]) < 1e-4
+    assert abs(dev["val/psnr_y"] - host["val/psnr_y"]) < 1e-3
+    assert abs(dev["val/ssim_y"] - host["val/ssim_y"]) < 1e-4
