@@ -299,3 +299,63 @@ def test_auto_test_cli(tmp_path, rng):
     tpl.write_text(json.dumps(cfg))
     auto_test.main(["-opt", str(tpl), "--models_dir", str(models_dir / "G")])
     assert (tmp_path / "out" / "results" / "sweep_3" / "t" / "x.png").exists()
+
+
+def test_add_corruptions_cli(tmp_path, rng):
+    """add_corruptions: all three corruption modes write images of the same
+    size with the expected degradations (reference: DSN/add_corruptions.py
+    defaults std 8 / blur 1.6 / quality 30)."""
+    from dasr_tpu.cli import add_corruptions
+    from dasr_tpu.data.io import read_img, save_img
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = rng.random((32, 32, 3)).astype(np.float32)
+    save_img(base, str(src / "a.png"))
+
+    for mode in ("noise", "blur", "jpeg"):
+        out = tmp_path / mode
+        add_corruptions.main([
+            "--input_dir", str(src), "--output_dir", str(out),
+            "--corruption", mode,
+        ])
+        img = read_img(str(out / "a.png"))  # jpeg mode roundtrips in-memory
+        assert img.shape == (32, 32, 3)
+        diff = float(np.abs(img - base).mean())
+        assert diff > 1e-4, mode  # actually corrupted
+        # a pure-noise source is the worst case for blur/jpeg: both strip
+        # most high-frequency energy, so just cap the damage loosely
+        assert diff < 0.35, mode
+
+
+def test_test_dataloader_cli(tmp_path, rng):
+    """test_dataloader: dumps dataloader output crops for eyeballing
+    (reference: SRN/test_dataloader.py)."""
+    import json
+
+    from dasr_tpu.cli import test_dataloader
+    from dasr_tpu.data.io import save_img
+
+    hr_dir, lr_dir = tmp_path / "hr", tmp_path / "lr"
+    hr_dir.mkdir(), lr_dir.mkdir()
+    for i in range(2):
+        save_img(rng.random((64, 64, 3)).astype(np.float32),
+                 str(hr_dir / f"{i}.png"))
+        save_img(rng.random((16, 16, 3)).astype(np.float32),
+                 str(lr_dir / f"{i}.png"))
+    cfg = {
+        "name": "dl", "scale": 4,
+        "datasets": {"train": {"name": "x", "mode": "LRHR",
+                               "dataroot_HR": str(hr_dir),
+                               "dataroot_LR": str(lr_dir),
+                               "batch_size": 1, "HR_size": 32,
+                               "use_flip": True, "use_rot": True,
+                               "n_workers": 0}},
+        "path": {"root": str(tmp_path)},
+    }
+    opt_path = tmp_path / "dl.json"
+    opt_path.write_text(json.dumps(cfg))
+    out = tmp_path / "vis"
+    test_dataloader.main(["-opt", str(opt_path), "--out", str(out), "--n", "2"])
+    dumped = os.listdir(out)
+    assert len(dumped) >= 2 and any(f.endswith(".png") for f in dumped)
