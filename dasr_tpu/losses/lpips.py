@@ -271,8 +271,17 @@ def default_lpips_variables(net: str = "alex", backbone_path: Optional[str] = No
     z = jnp.zeros((1, init_hw, init_hw, 3))
     base = lpips.init(jax.random.key(0), z, z)
     backbone = backbone_path or os.environ.get("DASR_TPU_LPIPS_BACKBONE")
+    if backbone and not os.path.exists(backbone):
+        import sys
+
+        print(
+            f"!!! LPIPS backbone path does not exist, IGNORING it: "
+            f"{backbone} (the perceptual loss runs random-init)",
+            file=sys.stderr,
+        )
+        backbone = None
     lin = reference_lin_weights_path(net)
-    if lin or (backbone and os.path.exists(backbone)):
+    if lin or backbone:
         return load_lpips_params(
             net, lin_path=lin, backbone_path=backbone, base_params=base
         )
