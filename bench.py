@@ -30,10 +30,46 @@ BASELINE_MPIX_S = 2.0
 RTT = 0.035  # measured tunnel round-trip for a scalar readback
 
 
+def _acquire_devices_or_die(budget_s: float = 600.0):
+    """Fail LOUDLY if the remote tunnel is down instead of hanging forever.
+
+    ``jax.devices()`` through the axon tunnel blocks indefinitely inside
+    backend registration when the tunnel is unhealthy (observed: >5 h
+    outages). Probe it from a watchdog thread and exit nonzero with a
+    diagnostic if it doesn't come up within the budget, so a scheduled
+    bench run records a clean failure rather than a silent hang."""
+    import sys
+    import threading
+
+    result = {}
+
+    def probe():
+        import jax
+
+        result["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(budget_s)
+    if "devices" not in result:
+        print(
+            json.dumps({
+                "metric": "x4_sr_throughput", "value": None, "unit": "Mpix/s",
+                "vs_baseline": None,
+                "error": f"device acquisition timed out after {budget_s:.0f}s "
+                         "(remote tunnel down?)",
+            })
+        )
+        sys.exit(2)
+    return result["devices"]
+
+
 def main():
     from dasr_tpu.utils.runtime import setup_runtime
 
     setup_runtime()  # persistent compile cache: first compile is minutes
+
+    _acquire_devices_or_die()
 
     import jax
     import jax.numpy as jnp
