@@ -147,13 +147,9 @@ def main(argv=None):
             from dasr_tpu.utils.transfer import device_put_packed
 
             if args.pad_bucket:
-                N = args.pad_bucket
-                hh, ww = a.shape[0], a.shape[1]
-                ph = (hh + N - 1) // N * N
-                pw = (ww + N - 1) // N * N
-                pa = np.zeros((ph, pw, a.shape[2]), a.dtype)
-                pb = np.zeros_like(pa)
-                pa[:hh, :ww], pb[:hh, :ww] = a, b
+                from dasr_tpu.utils.transfer import pad_pair_to_bucket
+
+                pa, pb, hh, ww = pad_pair_to_bucket(a, b, args.pad_bucket)
                 up = device_put_packed({"a": pa, "b": pb}, u8_to_f32=False)
                 dev = dev_bucket_fn(up["a"], up["b"], hh, ww)
                 if lpips_fn is not None:

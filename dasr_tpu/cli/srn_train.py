@@ -438,15 +438,13 @@ def _validate(model, val_set, opt, step, logger, writer, lpips_fn):
                 m["lpips"] = float(v[4])
         elif bucket_fn is not None:
             from dasr_tpu.eval.evaluate import im2tensor_range
-            from dasr_tpu.utils.transfer import device_put_packed
+            from dasr_tpu.utils.transfer import (
+                device_put_packed,
+                pad_pair_to_bucket,
+            )
 
             sr8, hr8 = to_uint8(sr), to_uint8(data["HR"])
-            hh, ww = sr8.shape[0], sr8.shape[1]
-            ph = (hh + bucket_n - 1) // bucket_n * bucket_n
-            pw = (ww + bucket_n - 1) // bucket_n * bucket_n
-            pa = np.zeros((ph, pw, sr8.shape[2]), np.uint8)
-            pb = np.zeros_like(pa)
-            pa[:hh, :ww], pb[:hh, :ww] = sr8, hr8
+            pa, pb, hh, ww = pad_pair_to_bucket(sr8, hr8, bucket_n)
             up = device_put_packed({"a": pa, "b": pb}, u8_to_f32=False)
             v = np.asarray(bucket_fn(up["a"], up["b"], hh, ww))
             m = {"psnr": float(v[0]), "ssim": float(v[1]),

@@ -94,3 +94,20 @@ def metrics_to_host(metrics, reduce_mean: bool = False) -> Dict[str, float]:
         _METRIC_REDUCERS[key] = jax.jit(reduce)
     vals = np.asarray(_METRIC_REDUCERS[key](metrics))
     return {n: float(v) for n, v in zip(names, vals)}
+
+
+def pad_pair_to_bucket(a, b, bucket: int):
+    """Zero-pad an HWC pair up to the next multiple of ``bucket`` in H and W.
+
+    Returns ``(a_pad, b_pad, h, w)`` — the shared input form of the masked
+    (shape-bucketed) device metrics (ops/metrics.py): one compiled program
+    per bucket shape, true sizes passed as dynamic scalars."""
+    import numpy as np
+
+    h, w = a.shape[0], a.shape[1]
+    ph = (h + bucket - 1) // bucket * bucket
+    pw = (w + bucket - 1) // bucket * bucket
+    pa = np.zeros((ph, pw, a.shape[2]), a.dtype)
+    pb = np.zeros_like(pa)
+    pa[:h, :w], pb[:h, :w] = a, b
+    return pa, pb, h, w
