@@ -84,6 +84,19 @@ def build_argparser():
                    help="compute the MATLAB-bicubic LR target in-step on the "
                         "MXU instead of in host data workers (same resampling "
                         "matrices)")
+    p.add_argument("--device_bank", action="store_true",
+                   help="hold the whole decoded corpus in device HBM (uint8, "
+                        "padded) and sample crops/augments IN-STEP: per-step "
+                        "wire traffic drops from ~1.7 MB of crop uploads to "
+                        "the dispatch RTT (the step is wire-bound through "
+                        "the remote tunnel — BENCH_NOTES r3). Same sampling "
+                        "law as the host loader (jax PRNG stream instead of "
+                        "numpy). Implies in-step bicubic and the uint8 wire "
+                        "form; falls back to the host loader if the padded "
+                        "corpus exceeds --device_bank_gb.")
+    p.add_argument("--device_bank_gb", type=float, default=12.0,
+                   help="HBM budget for --device_bank (decoded uint8, padded "
+                        "to the per-dir max size); over budget -> host loader")
     p.add_argument("--no_bf16", dest="bf16", action="store_false",
                    help="run G/D/LPIPS in float32 instead of bfloat16. "
                         "Default is bf16 compute (f32 params/losses) — the "
@@ -138,17 +151,42 @@ def main(argv=None):
 
         enable_decode_cache(opt.decode_cache_gb)
 
-    train_set = DSNTrainDataset(
-        source_dir, target_dir, crop_size=opt.crop_size,
-        upscale_factor=opt.upscale_factor, flips=opt.flips, rotations=opt.rotations,
-        transfer_uint8=opt.transfer_uint8, device_bicubic=opt.device_bicubic,
-    )
-    loader = Loader(
-        train_set, batch_size=opt.batch_size, shuffle=True,
-        num_workers=opt.num_workers, drop_last=True,
-        prefetch=max(4, 2 * max(1, int(opt.steps_per_call))),
-    )
-    steps_per_epoch = max(1, len(loader))
+    use_bank = False
+    if opt.device_bank:
+        from dasr_tpu.data.device_bank import bank_nbytes, build_bank
+
+        need = bank_nbytes(source_dir) + bank_nbytes(target_dir)
+        if need <= opt.device_bank_gb * 2**30:
+            use_bank = True
+        else:
+            print(
+                f"--device_bank: padded corpus needs {need / 2**30:.1f} GiB "
+                f"> budget {opt.device_bank_gb} GiB; using the host loader"
+            )
+
+    loader = None
+    clean_bank = noisy_bank = None
+    if use_bank:
+        crop_eff = opt.crop_size - opt.crop_size % opt.upscale_factor
+        noisy_bank_h = build_bank(
+            source_dir, min_size=crop_eff // opt.upscale_factor
+        )
+        clean_bank_h = build_bank(target_dir, min_size=crop_eff)
+        n_noisy = int(noisy_bank_h.data.shape[0])
+        steps_per_epoch = max(1, n_noisy // opt.batch_size)
+    else:
+        train_set = DSNTrainDataset(
+            source_dir, target_dir, crop_size=opt.crop_size,
+            upscale_factor=opt.upscale_factor, flips=opt.flips,
+            rotations=opt.rotations,
+            transfer_uint8=opt.transfer_uint8, device_bicubic=opt.device_bicubic,
+        )
+        loader = Loader(
+            train_set, batch_size=opt.batch_size, shuffle=True,
+            num_workers=opt.num_workers, drop_last=True,
+            prefetch=max(4, 2 * max(1, int(opt.steps_per_call))),
+        )
+        steps_per_epoch = max(1, len(loader))
 
     mesh = meshlib.make_mesh_for_batch(opt.batch_size)
     schedule = dsn_linear_decay(
@@ -213,12 +251,39 @@ def main(argv=None):
         k_steps = 1
     if opt.debug:
         k_steps = 1
+    bank_freqs = opt.disc_freq != 1 or opt.gen_freq != 1
+    if use_bank and bank_freqs:
+        # banked windows scan k steps; honor the freqs with k=1 windows
+        k_steps = 1
 
     from dasr_tpu.utils.transfer import device_put_packed, metrics_to_host
 
     single_device = np.prod(mesh.devices.shape) == 1
 
     n_data = int(mesh.shape[meshlib.DATA_AXIS])
+
+    if use_bank:
+        # one upload of the whole corpus (replicated on a mesh: each chip
+        # holds its own HBM copy and the batch gather shards over 'data')
+        from dasr_tpu.data.device_bank import ImageBank
+
+        def put_bank(b):
+            if single_device:
+                return ImageBank(*jax.device_put((b.data, b.sizes)))
+            return ImageBank(
+                data=meshlib.replicate(mesh, b.data),
+                sizes=meshlib.replicate(mesh, b.sizes),
+            )
+
+        gib = (noisy_bank_h.data.nbytes + clean_bank_h.data.nbytes) / 2**30
+        noisy_bank = put_bank(noisy_bank_h)
+        clean_bank = put_bank(clean_bank_h)
+        del noisy_bank_h, clean_bank_h
+        print(f"device bank: {gib:.2f} GiB resident "
+              f"({clean_bank.data.shape[0]} clean / "
+              f"{noisy_bank.data.shape[0]} noisy images)")
+        bank_rng = np.random.default_rng(0)
+        bank_key = jax.random.key(1)
 
     def put(tree, stacked=False):
         # one packed upload on a single device (every device_put pays an

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import optax
 
 from dasr_tpu.core import mesh as meshlib
+from dasr_tpu.data.device_bank import sample_dsn_batch
 from dasr_tpu.losses.gan import (
     dsn_discriminator_loss,
     dsn_generator_adv_loss,
@@ -295,6 +296,50 @@ class DSNTrainer:
         return (
             GANTrainState(step=state.step + 1, g=new_g, d_target=new_d),
             metrics,
+        )
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "crop", "flips", "rotations", "do_g", "do_d"),
+    )
+    def _train_banked(self, state, clean_bank, noisy_bank, noisy_idx, seed,
+                      lpips_variables, crop, flips, rotations,
+                      do_g=True, do_d=True):
+        key = jax.random.key(seed)
+
+        def body(carry, idx_row):
+            st, kk = carry
+            kk, sub = jax.random.split(kk)
+            batch = sample_dsn_batch(
+                clean_bank, noisy_bank, idx_row, sub, crop,
+                self.cfg.upscale_factor, flips, rotations,
+            )
+            st, metrics = self._train_step(
+                st, batch, lpips_variables, do_g=do_g, do_d=do_d
+            )
+            return (st, kk), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, key), noisy_idx)
+        return state, metrics
+
+    def train_banked_step(self, state: GANTrainState, clean_bank, noisy_bank,
+                          noisy_idx, seed, crop: int, flips: bool = False,
+                          rotations: bool = False, do_g: bool = True,
+                          do_d: bool = True):
+        """K train steps sampling crops from DEVICE-RESIDENT image banks
+        (data/device_bank.py) — per-dispatch wire traffic is just the
+        (K, B) int32 noisy-index window + a uint32 PRNG seed riding along
+        with the call, vs ~1.7 MB/step of crop uploads on the host-loader
+        path (which is wire-bound through the remote tunnel; BENCH_NOTES
+        r3). Same math as K sequential `train_step`s on batches drawn by
+        DSNTrainDataset — the sampling law is identical, the PRNG stream
+        is jax instead of numpy. ``noisy_idx``: (K, B) int32; ``seed``: a
+        per-window host integer (keys derive in-step, so no device PRNG
+        round-trips on the host thread)."""
+        return self._train_banked(
+            state, clean_bank, noisy_bank, noisy_idx, np.uint32(seed),
+            self.lpips_variables, crop, flips, rotations,
+            do_g=do_g, do_d=do_d,
         )
 
     def generate(self, params_g, x):
