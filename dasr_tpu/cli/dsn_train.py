@@ -97,6 +97,18 @@ def build_argparser():
     p.add_argument("--device_bank_gb", type=float, default=12.0,
                    help="HBM budget for --device_bank (decoded uint8, padded "
                         "to the per-dir max size); over budget -> host loader")
+    p.add_argument("--packed_trunk", action="store_true",
+                   help="DeResnet only: compute the full-HR-res trunk in "
+                        "2x2 space-to-depth packed form (4C channels at "
+                        "half spatial; ops/packed_trunk.py). Same math and "
+                        "parameter tree; needs even crop sizes. Measured "
+                        "SLOWER in the full train step (45.2 vs 35.8 "
+                        "ms/step, BENCH_NOTES r4) — kept as an exact "
+                        "opt-in, default stays plain.")
+    p.add_argument("--seed", default=0, type=int,
+                   help="run seed: model init, the host shuffle stream, and "
+                        "in-step PRNG draws (WGAN-GP mixing, --device_bank "
+                        "crops) all derive from it")
     p.add_argument("--no_bf16", dest="bf16", action="store_false",
                    help="run G/D/LPIPS in float32 instead of bfloat16. "
                         "Default is bf16 compute (f32 params/losses) — the "
@@ -183,12 +195,15 @@ def main(argv=None):
         )
         loader = Loader(
             train_set, batch_size=opt.batch_size, shuffle=True,
-            num_workers=opt.num_workers, drop_last=True,
+            num_workers=opt.num_workers, drop_last=True, seed=opt.seed,
             prefetch=max(4, 2 * max(1, int(opt.steps_per_call))),
         )
         steps_per_epoch = max(1, len(loader))
 
     mesh = meshlib.make_mesh_for_batch(opt.batch_size)
+    # canonical mesh line: tests assert multi-device SPMD actually engaged
+    print(f"[mesh] data={mesh.shape[meshlib.DATA_AXIS]} "
+          f"spatial={mesh.shape[meshlib.SPATIAL_AXIS]}")
     schedule = dsn_linear_decay(
         opt.learning_rate, opt.num_epochs, opt.num_decay_epochs, steps_per_epoch
     )
@@ -201,6 +216,7 @@ def main(argv=None):
         use_per_loss=opt.use_per_loss, per_type=opt.per_type,
         learning_rate=opt.learning_rate, adam_beta_1=opt.adam_beta_1,
         disc_freq=opt.disc_freq, gen_freq=opt.gen_freq,
+        seed=opt.seed, packed_trunk=opt.packed_trunk,
         dtype=jnp.bfloat16 if opt.bf16 else None,
     )
     lpips_vars = None
@@ -213,7 +229,9 @@ def main(argv=None):
     trainer = DSNTrainer(cfg, mesh=mesh, schedule=schedule,
                          lpips_variables=lpips_vars)
     lr_size = (opt.crop_size - opt.crop_size % opt.upscale_factor) // opt.upscale_factor
-    state = trainer.init_state(jax.random.key(0), lr_size=lr_size, hr_size=opt.crop_size)
+    state = trainer.init_state(
+        jax.random.key(opt.seed), lr_size=lr_size, hr_size=opt.crop_size
+    )
 
     save_path = os.path.join(opt.experiments_root, opt.save_path or "dsn_run")
     ckpt_dir = os.path.join(save_path, "checkpoints")
@@ -282,8 +300,6 @@ def main(argv=None):
         print(f"device bank: {gib:.2f} GiB resident "
               f"({clean_bank.data.shape[0]} clean / "
               f"{noisy_bank.data.shape[0]} noisy images)")
-        bank_rng = np.random.default_rng(0)
-        bank_key = jax.random.key(1)
 
     def put(tree, stacked=False):
         # one packed upload on a single device (every device_put pays an
@@ -335,35 +351,77 @@ def main(argv=None):
                 metrics_to_host(dev_m)
                 runahead = 0
 
+    def run_banked_window(window_rows):
+        """Dispatch one (K', B) banked window; K' = len(window_rows)."""
+        nonlocal state, iteration, lagged
+        seed_w = iteration  # window start: resume continues the stream
+        idx = np.stack(window_rows)
+        dev_idx = (
+            jax.device_put(idx)
+            if single_device
+            else meshlib.shard_stacked_batch(mesh, idx)
+        )
+        iteration += len(window_rows)
+        do_d = iteration % opt.disc_freq == 0
+        do_g = iteration % opt.gen_freq == 0
+        state, metrics = trainer.train_banked_step(
+            state, clean_bank, noisy_bank, dev_idx, seed_w, crop_eff,
+            flips=opt.flips, rotations=opt.rotations, do_g=do_g, do_d=do_d,
+        )
+        prev, lagged = lagged, (iteration, {k: v[-1] for k, v in metrics.items()})
+        if prev is not None:
+            drain_window(prev)
+
     iteration = 0
     pending = []
     for epoch in range(start_epoch, opt.num_epochs + 1):
-        loader.set_epoch(epoch)
-        for batch in loader:
-            if k_steps > 1:
-                pending.append(batch)
+        if use_bank:
+            # drop_last host-loader semantics: steps_per_epoch * batch_size
+            # indices per epoch; partial windows carry across epochs like
+            # the host path's `pending` (flushed once after training).
+            # Per-(seed, epoch) shuffle matches the Loader's stream rule,
+            # so resume replays the same epoch order; crops/augments/
+            # pairing draw from the in-step (cfg.seed, iteration) jax PRNG
+            perm = (
+                np.random.default_rng((opt.seed, epoch))
+                .permutation(n_noisy)
+                .astype(np.int32)
+            )
+            for s in range(steps_per_epoch):
+                pending.append(perm[s * opt.batch_size:(s + 1) * opt.batch_size])
                 if len(pending) < k_steps:
                     continue
-                stacked = {
-                    key: np.stack([b[key] for b in pending])
-                    for key in pending[0]
-                }
-                pending = []
-                dev = put(stacked, stacked=True)
-                state, metrics = trainer.train_multi_step(state, dev)
-                iteration += k_steps
-                metrics = {k: v[-1] for k, v in metrics.items()}
-            else:
-                iteration += 1
-                dev = put(batch)
-                do_d = iteration % opt.disc_freq == 0
-                do_g = iteration % opt.gen_freq == 0
-                state, metrics = trainer.train_step(state, dev, do_g=do_g, do_d=do_d)
-            prev, lagged = lagged, (iteration, metrics)
-            if prev is not None:
-                drain_window(prev)
-            if opt.debug:
-                break
+                rows, pending = pending, []
+                run_banked_window(rows)
+                if opt.debug:
+                    break
+        else:
+            loader.set_epoch(epoch)
+            for batch in loader:
+                if k_steps > 1:
+                    pending.append(batch)
+                    if len(pending) < k_steps:
+                        continue
+                    stacked = {
+                        key: np.stack([b[key] for b in pending])
+                        for key in pending[0]
+                    }
+                    pending = []
+                    dev = put(stacked, stacked=True)
+                    state, metrics = trainer.train_multi_step(state, dev)
+                    iteration += k_steps
+                    metrics = {k: v[-1] for k, v in metrics.items()}
+                else:
+                    iteration += 1
+                    dev = put(batch)
+                    do_d = iteration % opt.disc_freq == 0
+                    do_g = iteration % opt.gen_freq == 0
+                    state, metrics = trainer.train_step(state, dev, do_g=do_g, do_d=do_d)
+                prev, lagged = lagged, (iteration, metrics)
+                if prev is not None:
+                    drain_window(prev)
+                if opt.debug:
+                    break
         if opt.debug:
             opt.val_interval = 1
             opt.save_model_interval = 1
@@ -438,16 +496,20 @@ def main(argv=None):
         # flush the trailing partial scan window (mirrors srn_train's
         # partial flush) — without this up to K-1 batches at the end of
         # training were silently dropped and epoch accounting drifted
-        stacked = {
-            key: np.stack([b[key] for b in pending]) for key in pending[0]
-        }
-        n_flush = len(pending)
-        pending = []
-        state, metrics = trainer.train_multi_step(state, put(stacked, stacked=True))
-        iteration += n_flush
-        prev, lagged = lagged, (iteration, {k: v[-1] for k, v in metrics.items()})
-        if prev is not None:
-            drain_window(prev)
+        if use_bank:
+            rows, pending = pending, []
+            run_banked_window(rows)
+        else:
+            stacked = {
+                key: np.stack([b[key] for b in pending]) for key in pending[0]
+            }
+            n_flush = len(pending)
+            pending = []
+            state, metrics = trainer.train_multi_step(state, put(stacked, stacked=True))
+            iteration += n_flush
+            prev, lagged = lagged, (iteration, {k: v[-1] for k, v in metrics.items()})
+            if prev is not None:
+                drain_window(prev)
     if lagged is not None:
         # final window: always read back (fences training; the flush write
         # keeps the reference's end-of-run metrics line)

@@ -110,6 +110,11 @@ def main(argv=None):
     mesh = meshlib.make_mesh_for_batch(
         int(opt["datasets"]["train"].get("batch_size", 6) or 6)
     )
+    # canonical mesh line: tests assert multi-device SPMD actually engaged
+    # (make_mesh_for_batch silently degrades to 1 device on non-divisible
+    # batch/device counts — VERDICT r3 stretch #8)
+    print(f"[mesh] data={mesh.shape[meshlib.DATA_AXIS]} "
+          f"spatial={mesh.shape[meshlib.SPATIAL_AXIS]}")
     model = create_model(opt, mesh=mesh)
     lr_size = int(
         (opt["datasets"]["train"].get("HR_size", 128) or 128) // opt.get("scale", 4)

@@ -1,6 +1,7 @@
 """Device-resident image banks: the whole decoded corpus in HBM, crops on-chip.
 
-Motivation (BENCH_NOTES r3 "device-resident banks"): through the remote
+Motivation (BENCH_NOTES r3 "the DSN stage attacked"; A/B vs the host
+loader in BENCH_NOTES r4 "device-resident banks"): through the remote
 tunnel the DSN train step is WIRE-bound, not compute-bound — at bs 8 /
 crop 256 each step ships ~1.7 MB of crops at the tunnel's 25-35 MB/s
 (~60-80 ms/step of blocking upload against a 35.8 ms bf16 device step),

@@ -55,14 +55,59 @@ class DSGANGenerator(nn.Module):
         return nn.sigmoid(h)
 
 
+class _PReLUParams(nn.Module):
+    """PReLU-shaped parameter shell (scalar ``slope``, same name/init) —
+    lets packed apply paths share the plain modules' parameter tree."""
+
+    init_slope: float = 0.25
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "slope", lambda _k: jnp.asarray(self.init_slope, jnp.float32)
+        )
+
+
+class _ResidualBlockParams(nn.Module):
+    """ResidualBlock-shaped parameter shell (Conv_0/PReLU_0/Conv_1)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        from dasr_tpu.nn.blocks import _ConvParamsMirror
+
+        k1, b1 = _ConvParamsMirror(self.channels, self.channels, name="Conv_0")()
+        slope = _PReLUParams(name="PReLU_0")()
+        k2, b2 = _ConvParamsMirror(self.channels, self.channels, name="Conv_1")()
+        return k1, b1, slope, k2, b2
+
+
 class DeResnet(nn.Module):
+    """DSN degradation generator (reference: codes/DSN/model.py:25-55).
+
+    ``packed_trunk=True`` computes the SAME function (same parameter tree,
+    apply-time kernel transforms) with the full-HR-resolution trunk in 2x2
+    space-to-depth packed form (ops/packed_trunk.py): every trunk conv
+    becomes a 4C->4C conv at half spatial size, and the first stride-2
+    downsample conv consumes the packed layout directly (its outputs ARE
+    phase (0, 0)), so the unpack is free for scale >= 2. Requires even
+    H/W. Accumulation order inside each conv changes, so results match to
+    float rounding (tests/test_packed_trunk.py, fwd + grads, every scale).
+    Measured on the v5e: REJECTED for the train step (45.2 vs 35.8
+    ms/step — packed convs emit no faster inside the fwd+bwd program;
+    BENCH_NOTES r4) — opt-in only, defaults stay plain."""
+
     n_res_blocks: int = 8
     scale: int = 4
     features: int = 64
+    packed_trunk: bool = False
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
+        if self.packed_trunk:
+            return self._packed_apply(x)
         h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
         h = PReLU()(h)
         for _ in range(self.n_res_blocks):
@@ -78,6 +123,71 @@ class DeResnet(nn.Module):
             )(h)
             h = PReLU()(h)
         h = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        return nn.sigmoid(h)
+
+    def _packed_apply(self, x):
+        from jax import lax
+
+        from dasr_tpu.nn.blocks import _ConvParamsMirror
+        from dasr_tpu.ops.packed_trunk import (
+            pack_bias,
+            pack_kernel,
+            pack_kernel_strided,
+            pack_space_to_depth,
+            packed_conv,
+            unpack_depth_to_space,
+        )
+
+        assert x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0, (
+            "packed_trunk needs even H/W"
+        )
+        dtype = self.dtype or x.dtype
+        n_down = {1: 0, 2: 1, 4: 2}[self.scale]
+
+        k0, b0 = _ConvParamsMirror(self.features, x.shape[-1], name="Conv_0")()
+        hp = packed_conv(
+            pack_space_to_depth(x).astype(dtype),
+            pack_kernel(k0).astype(dtype),
+            pack_bias(b0),
+        )
+        # PReLU / residual adds are phase-uniform: the plain modules apply
+        # to the packed tensor unchanged (and keep the plain names)
+        hp = PReLU(name="PReLU_0")(hp)
+        for i in range(self.n_res_blocks):
+            k1, b1, slope, k2, b2 = _ResidualBlockParams(
+                self.features, name=f"ResidualBlock_{i}"
+            )()
+            r = packed_conv(hp, pack_kernel(k1).astype(dtype), pack_bias(b1))
+            r = jnp.where(r >= 0, r, r * slope.astype(r.dtype))
+            hp = hp + packed_conv(r, pack_kernel(k2).astype(dtype), pack_bias(b2))
+        if n_down == 0:
+            h = unpack_depth_to_space(hp)
+        else:
+            kd, bd = _ConvParamsMirror(
+                self.features, self.features, name="Conv_1"
+            )()
+            h = lax.conv_general_dilated(
+                hp,
+                pack_kernel_strided(kd).astype(dtype),
+                (1, 1),
+                ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bd.astype(dtype)
+            h = PReLU(name="PReLU_1")(h)
+            for j in range(1, n_down):
+                h = nn.Conv(
+                    self.features,
+                    (3, 3),
+                    strides=(2, 2),
+                    padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype,
+                    name=f"Conv_{1 + j}",
+                )(h)
+                h = PReLU(name=f"PReLU_{1 + j}")(h)
+        h = nn.Conv(
+            3, (3, 3), padding="SAME", dtype=self.dtype,
+            name=f"Conv_{1 + n_down}",
+        )(h)
         return nn.sigmoid(h)
 
 

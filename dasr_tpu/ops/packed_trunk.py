@@ -31,10 +31,16 @@ This is an EXACT rewrite of the same function (same parameter tree):
 
 Only the accumulation order inside each conv changes (one 576-term
 contraction instead of 9x64 staged), so results match to float rounding,
-not bit-exactly; tests/test_packed_trunk.py pins the f32 tolerance.
+not bit-exactly; tests/test_packed_trunk.py pins the f32 tolerance
+(forward AND grads, every scale, same parameter tree).
 
-Measured on the v5e (tools/probe_packed_trunk.py) before being wired
-into ``DeResnet(packed_trunk=True)`` — see BENCH_NOTES r3.
+Wired: ``DeResnet(packed_trunk=True)`` (nn/generators.py), reachable from
+training via ``dsn_train --packed_trunk`` / ``DSNConfig.packed_trunk``.
+Full-train-step A/B on the v5e (BENCH_NOTES r4 "packed DeResnet trunk"):
+REJECTED for training — 45.2 vs 35.8 ms/step; inside the fwd+bwd program
+the packed convs emit at the same ~47 TF/s as the plain trunk, so the
+extra pack/unpack and backward glue only add cost. Kept as a tested
+exact opt-in (defaults stay plain).
 """
 
 from __future__ import annotations

@@ -27,6 +27,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from dasr_tpu.core import mesh as meshlib
@@ -66,6 +67,8 @@ class DSNConfig:
     adam_beta_1: float = 0.5
     disc_freq: int = 1
     gen_freq: int = 1
+    seed: int = 0  # folded into in-step PRNG draws (WGAN-GP mixing noise)
+    packed_trunk: bool = False  # DeResnet 2x2 space-to-depth trunk rewrite
     dtype: Any = None  # compute dtype for the nets (e.g. jnp.bfloat16)
 
 
@@ -84,6 +87,7 @@ class DSNTrainer:
             self.g_model = DeResnet(
                 n_res_blocks=cfg.num_res_blocks,
                 scale=cfg.upscale_factor,
+                packed_trunk=cfg.packed_trunk,
                 dtype=cfg.dtype,
             )
         else:
@@ -237,10 +241,14 @@ class DSNTrainer:
             gp = 0.0
             if c.wgan:
                 # WGAN-GP: one uniform scalar mixes real/fake, penalty
-                # 10*(||grad|| - 1)^2 (reference: DSN/train.py:229-236)
+                # 10*(||grad|| - 1)^2 (reference: DSN/train.py:229-236).
+                # The mixing noise folds the RUN seed (cfg.seed) into the
+                # per-step key so different seeds draw different
+                # interpolation sequences — the reference draws from the
+                # ambient torch RNG, which varies with the run seed too.
                 from dasr_tpu.losses.gan import gradient_penalty
 
-                key = jax.random.fold_in(jax.random.key(0), state.step)
+                key = jax.random.fold_in(jax.random.key(c.seed), state.step)
                 gp = 10.0 * gradient_penalty(
                     lambda v: self.d_model.apply(params_d, v),
                     disc_img, fake_det, key,
@@ -305,7 +313,8 @@ class DSNTrainer:
     def _train_banked(self, state, clean_bank, noisy_bank, noisy_idx, seed,
                       lpips_variables, crop, flips, rotations,
                       do_g=True, do_d=True):
-        key = jax.random.key(seed)
+        # (run seed, window position) -> key: resume-consistent crop streams
+        key = jax.random.fold_in(jax.random.key(self.cfg.seed), seed)
 
         def body(carry, idx_row):
             st, kk = carry
@@ -334,8 +343,12 @@ class DSNTrainer:
         r3). Same math as K sequential `train_step`s on batches drawn by
         DSNTrainDataset — the sampling law is identical, the PRNG stream
         is jax instead of numpy. ``noisy_idx``: (K, B) int32; ``seed``: a
-        per-window host integer (keys derive in-step, so no device PRNG
-        round-trips on the host thread)."""
+        per-window host integer (the CLI passes the iteration at window
+        start), folded with ``cfg.seed`` in-step — no device PRNG
+        round-trips on the host thread and no recompile across windows.
+        Returns (state, metrics) with a (K,) leading axis on every metric
+        (tests/test_device_bank.py pins the sampling law and drives the
+        CLI path on a 2-device mesh)."""
         return self._train_banked(
             state, clean_bank, noisy_bank, noisy_idx, np.uint32(seed),
             self.lpips_variables, crop, flips, rotations,

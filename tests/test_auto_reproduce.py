@@ -15,7 +15,7 @@ import os
 import numpy as np
 
 
-def test_auto_reproduce_smoke(tmp_path):
+def test_auto_reproduce_smoke(tmp_path, capsys):
     from dasr_tpu.data.io import save_img
 
     rng = np.random.default_rng(0)
@@ -72,6 +72,19 @@ def test_auto_reproduce_smoke(tmp_path):
         "--val_interval 1 --save_model_interval 1 --decode_cache_gb 1",
         "--dsn_create_extra", "--num_res_blocks 2",
     ])
+
+    # BOTH train stages must have run true multi-device SPMD on the 8-CPU
+    # mesh (batch 2 -> 2-device data mesh). make_mesh_for_batch silently
+    # degrades to 1 device when batch and device counts don't divide, which
+    # would let orchestrator SPMD regressions hide (VERDICT r3 stretch #8).
+    mesh_lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("[mesh] ")
+    ]
+    assert len(mesh_lines) == 2, mesh_lines  # dsn_train + srn_train
+    for ln in mesh_lines:
+        n_data = int(ln.split("data=")[1].split()[0])
+        assert n_data >= 2, f"stage fell back to a 1-device mesh: {ln}"
 
     # stage-handoff tree, byte-layout per create_dataset_modified.py:86-96
     lrs = work / "DSN_results" / "0603_DSN_LRs_aim2019"

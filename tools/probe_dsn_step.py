@@ -74,6 +74,9 @@ def main():
     ap.add_argument("--trace", default="/tmp/dsnprof")
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--packed_trunk", action="store_true",
+                    help="DeResnet trunk in 2x2 space-to-depth packed form")
+    ap.add_argument("--no_bf16", dest="bf16", action="store_false")
     ap.add_argument("--parse_only", action="store_true")
     args = ap.parse_args()
 
@@ -90,7 +93,10 @@ def main():
 
     from dasr_tpu.train.dsn_trainer import DSNConfig, DSNTrainer
 
-    cfg = DSNConfig(filter="avg_pool", w_tex=0.006, dtype=jnp.bfloat16)
+    cfg = DSNConfig(
+        filter="avg_pool", w_tex=0.006, packed_trunk=args.packed_trunk,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+    )
     trainer = DSNTrainer(cfg)
     lr = args.crop // cfg.upscale_factor
     state = trainer.init_state(jax.random.key(0), lr_size=lr, hr_size=args.crop)
