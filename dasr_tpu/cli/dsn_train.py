@@ -280,22 +280,32 @@ def main(argv=None):
 
     n_data = int(mesh.shape[meshlib.DATA_AXIS])
 
+    banked_step = None
     if use_bank:
-        # one upload of the whole corpus (replicated on a mesh: each chip
-        # holds its own HBM copy and the batch gather shards over 'data')
-        from dasr_tpu.data.device_bank import ImageBank
-
-        def put_bank(b):
-            if single_device:
-                return ImageBank(*jax.device_put((b.data, b.sizes)))
-            return ImageBank(
-                data=meshlib.replicate(mesh, b.data),
-                sizes=meshlib.replicate(mesh, b.sizes),
-            )
-
         gib = (noisy_bank_h.data.nbytes + clean_bank_h.data.nbytes) / 2**30
-        noisy_bank = put_bank(noisy_bank_h)
-        clean_bank = put_bank(clean_bank_h)
+        if single_device:
+            # layout-pinned jit: entry format == upload format, so XLA
+            # cannot insert its per-dispatch whole-bank relayout copy
+            # (BENCH_NOTES r4 "device-resident banks")
+            from dasr_tpu.data.device_bank import make_banked_step
+
+            banked_step, clean_bank, noisy_bank = make_banked_step(
+                trainer, clean_bank_h, noisy_bank_h
+            )
+        else:
+            # mesh path: replicated default-layout copies on each chip
+            # (per-dispatch relayout is a known cost here; the AOT format
+            # query composes poorly with replicated shardings)
+            from dasr_tpu.data.device_bank import ImageBank
+
+            def put_bank(b):
+                return ImageBank(
+                    data=meshlib.replicate(mesh, b.data),
+                    sizes=meshlib.replicate(mesh, b.sizes),
+                )
+
+            noisy_bank = put_bank(noisy_bank_h)
+            clean_bank = put_bank(clean_bank_h)
         del noisy_bank_h, clean_bank_h
         print(f"device bank: {gib:.2f} GiB resident "
               f"({clean_bank.data.shape[0]} clean / "
@@ -364,11 +374,17 @@ def main(argv=None):
         iteration += len(window_rows)
         do_d = iteration % opt.disc_freq == 0
         do_g = iteration % opt.gen_freq == 0
-        state, metrics = trainer.train_banked_step(
-            state, clean_bank, noisy_bank, dev_idx, seed_w, crop_eff,
-            flips=opt.flips, rotations=opt.rotations, do_g=do_g, do_d=do_d,
-        )
-        prev, lagged = lagged, (iteration, {k: v[-1] for k, v in metrics.items()})
+        if banked_step is not None:
+            state, metrics = banked_step(
+                state, dev_idx, seed_w, crop_eff,
+                opt.flips, opt.rotations, do_g, do_d,
+            )
+        else:
+            state, metrics = trainer.train_banked_step(
+                state, clean_bank, noisy_bank, dev_idx, seed_w, crop_eff,
+                flips=opt.flips, rotations=opt.rotations, do_g=do_g, do_d=do_d,
+            )
+        prev, lagged = lagged, (iteration, metrics)
         if prev is not None:
             drain_window(prev)
 

@@ -126,7 +126,13 @@ def sample_crops(
         return sl
 
     keys = jax.random.split(key, idx.shape[0])
-    return jax.vmap(one)(idx, keys)
+    # UNROLLED over the (static) batch dim, not vmap: B plain dynamic_slice
+    # DMAs instead of one batched gather. (The r4 full-bank-copy hunt,
+    # BENCH_NOTES "device-resident banks": the 5.8 ms/step copy was the
+    # entry-layout mismatch fixed by make_banked_step below, not the
+    # gather — but unrolled slices keep the lowering simple and were never
+    # slower, so they stay.)
+    return jnp.stack([one(idx[b], keys[b]) for b in range(idx.shape[0])])
 
 
 def sample_dsn_batch(
@@ -153,3 +159,58 @@ def sample_dsn_batch(
             noisy_bank, noisy_idx, k_noisy, crop // scale, flips, rotations
         ),
     }
+
+
+def make_banked_step(trainer, clean_h: ImageBank, noisy_h: ImageBank):
+    """Upload both banks ONCE (layout-pinned) and return the banked step.
+
+    Left alone this costs a COPY OF THE WHOLE BANK per dispatch (measured
+    5.2 + 0.65 ms/step on the 1.87 GiB AIM2019-scale banks, ~320 GB/s;
+    BENCH_NOTES r4 "device-resident banks"): ``jax.device_put``'s default
+    layout for a large (N, H, W, 3) uint8 array is major_to_minor
+    (1, 3, 0, 2) — shape-dependent! small arrays get (0, 3, 1, 2) — while
+    the step's dynamic-slice fusions consume (0, 3, 1, 2) (channel-planar
+    per image), and XLA keeps the mismatched layout as the parameter's
+    entry layout and bridges with an in-program relayout copy every call.
+    The fix pins BOTH sides to the consumer layout: the banks are
+    device_put with an explicit Format((0, 3, 1, 2)) and the jit's entry
+    format for the bank args is pinned to the same Format via
+    ``in_shardings`` — entry == upload == consumer, and the compiled HLO
+    carries zero bank-sized copies (verified against the lowered text).
+
+    Returns ``(step, clean_dev, noisy_dev)`` where
+    ``step(state, idx, seed, crop, flips, rotations, do_g, do_d)``
+    matches ``DSNTrainer.train_banked_step`` semantics. Single-device
+    only — the multi-chip CLI path replicates default-layout banks and
+    eats the relayout (documented known cost).
+    """
+    import functools
+
+    import jax
+    from jax.experimental.layout import Format, Layout
+
+    dev = jax.devices()[0]
+    sharding = jax.sharding.SingleDeviceSharding(dev)
+    fmt4 = Format(Layout(major_to_minor=(0, 3, 1, 2)), sharding)
+    fmt2 = Format(Layout(major_to_minor=(0, 1)), sharding)
+    clean_dev = ImageBank(jax.device_put(clean_h.data, fmt4),
+                          jax.device_put(clean_h.sizes, fmt2))
+    noisy_dev = ImageBank(jax.device_put(noisy_h.data, fmt4),
+                          jax.device_put(noisy_h.sizes, fmt2))
+    in_sh = (
+        None,  # state: inferred
+        ImageBank(fmt4, fmt2),
+        ImageBank(fmt4, fmt2),
+        None, None, None,  # idx, seed, lpips: inferred
+    )
+    fn = functools.partial(trainer._train_banked.__wrapped__, trainer)
+    jfn = jax.jit(fn, static_argnums=(6, 7, 8, 9, 10), in_shardings=in_sh)
+
+    def step(state, idx, seed, crop, flips=False, rotations=False,
+             do_g=True, do_d=True):
+        # kwargs are not allowed alongside in_shardings -> positional
+        return jfn(state, clean_dev, noisy_dev, idx, np.uint32(seed),
+                   trainer.lpips_variables, crop, flips, rotations,
+                   do_g, do_d)
+
+    return step, clean_dev, noisy_dev

@@ -328,8 +328,17 @@ class DSNTrainer:
             )
             return (st, kk), metrics
 
+        if noisy_idx.shape[0] == 1:
+            # K=1: call the body directly instead of a length-1 lax.scan
+            # (measured identical device ops — XLA canonicalizes it — but
+            # the direct form keeps the HLO free of a degenerate while op)
+            (state, _), metrics = body((state, key), noisy_idx[0])
+            return state, metrics
         (state, _), metrics = jax.lax.scan(body, (state, key), noisy_idx)
-        return state, metrics
+        # last-step metrics only, selected IN-jit: stripping the (K,) axis
+        # host-side cost 9 tiny async dispatches per window (~12.7 ms/step
+        # of tunnel overhead at k=1; BENCH_NOTES r4)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
 
     def train_banked_step(self, state: GANTrainState, clean_bank, noisy_bank,
                           noisy_idx, seed, crop: int, flips: bool = False,
@@ -346,9 +355,10 @@ class DSNTrainer:
         per-window host integer (the CLI passes the iteration at window
         start), folded with ``cfg.seed`` in-step — no device PRNG
         round-trips on the host thread and no recompile across windows.
-        Returns (state, metrics) with a (K,) leading axis on every metric
-        (tests/test_device_bank.py pins the sampling law and drives the
-        CLI path on a 2-device mesh)."""
+        Returns (state, metrics) where metrics are the LAST step's values
+        (selected in-jit — host-side (K,) indexing cost ~12.7 ms/step of
+        tunnel dispatch; tests/test_device_bank.py pins the sampling law
+        and drives the CLI path on a 2-device mesh)."""
         return self._train_banked(
             state, clean_bank, noisy_bank, noisy_idx, np.uint32(seed),
             self.lpips_variables, crop, flips, rotations,

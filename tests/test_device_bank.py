@@ -219,3 +219,28 @@ def test_banked_cli_respects_budget_fallback(corpus, tmp_path, capsys):
     assert "using the host loader" in capsys.readouterr().out
     lines = [json.loads(ln) for ln in open(out / "run" / "metrics.jsonl")]
     assert lines and lines[-1]["step"] == 2
+
+
+@pytest.mark.slow
+def test_banked_cli_single_device_layout_path(corpus, tmp_path):
+    """batch 3 doesn't divide the 8-CPU mesh -> 1-device mesh -> the
+    executable-layout upload path (put_banks_for_step) drives training."""
+    from dasr_tpu.cli import dsn_train
+
+    out = tmp_path / "banked1"
+    dsn_train.main([
+        "--source_dir", str(corpus["source"]),
+        "--target_dir", str(corpus["target"]),
+        "--generator", "DeResnet", "--discriminator", "FSD",
+        "--filter", "avg_pool", "--num_res_blocks", "1", "--no_per_loss",
+        "--crop_size", "96", "--batch_size", "3",
+        "--num_epochs", "1", "--num_decay_epochs", "1",
+        "--val_interval", "99", "--save_model_interval", "99",
+        "--device_bank", "--no_bf16", "--flips", "--rotations",
+        "--experiments_root", str(out), "--save_path", "run",
+    ])
+    lines = [json.loads(ln) for ln in open(out / "run" / "metrics.jsonl")]
+    assert lines and lines[-1]["step"] == 1
+    for k, v in lines[-1].items():
+        if k.startswith("loss/"):
+            assert np.isfinite(v)

@@ -94,14 +94,15 @@ def main():
         return time.perf_counter() - t0
 
     if args.device_bank:
-        from dasr_tpu.data.device_bank import ImageBank, build_bank
+        from dasr_tpu.data.device_bank import build_bank, make_banked_step
 
         t0 = time.perf_counter()
         noisy_h = build_bank(args.source, min_size=lr)
         clean_h = build_bank(args.target, min_size=crop_eff)
         t1 = time.perf_counter()
-        noisy = ImageBank(*jax.device_put((noisy_h.data, noisy_h.sizes)))
-        clean = ImageBank(*jax.device_put((clean_h.data, clean_h.sizes)))
+        # layout-pinned step (the per-dispatch whole-bank relayout fix,
+        # BENCH_NOTES r4)
+        banked_step, clean, noisy = make_banked_step(trainer, clean_h, noisy_h)
         jax.block_until_ready(noisy.data)
         gib = (noisy_h.data.nbytes + clean_h.data.nbytes) / 2**30
         print(f"bank: decode {t1 - t0:.1f} s, upload {gib:.2f} GiB "
@@ -126,14 +127,10 @@ def main():
                 dev_idx = jax.device_put(idx)
                 t3 = time.perf_counter()
                 seed_w = iteration
-                state, metrics = trainer.train_banked_step(
-                    state, clean, noisy, dev_idx, seed_w, crop_eff,
-                )
+                state, metrics = banked_step(state, dev_idx, seed_w, crop_eff)
                 t4 = time.perf_counter()
                 iteration += k
-                prev, lagged = lagged, (
-                    iteration, {kk: v[-1] for kk, v in metrics.items()}
-                )
+                prev, lagged = lagged, (iteration, metrics)
                 drain_t = drain_prev(prev) if prev is not None else 0.0
                 windows += 1
                 if windows == warm_windows:

@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--packed_trunk", action="store_true",
                     help="DeResnet trunk in 2x2 space-to-depth packed form")
     ap.add_argument("--no_bf16", dest="bf16", action="store_false")
+    ap.add_argument("--device_bank", action="store_true",
+                    help="profile the BANKED step (synthetic AR-scale banks "
+                         "resident on device; in-step crop sampling)")
     ap.add_argument("--parse_only", action="store_true")
     args = ap.parse_args()
 
@@ -110,7 +113,33 @@ def main():
         ),
         "disc": jnp.asarray(rng.random((*pre, args.batch, lr, lr, 3)), jnp.float32),
     }
-    if args.k > 1:
+    if args.device_bank:
+        # synthetic banks at AIM2019 corpus scale (200 clean 1356x2040,
+        # 400 noisy 339x510) — the gather cost depends on the bank shape
+        from dasr_tpu.data.device_bank import ImageBank, make_banked_step
+
+        clean_h = ImageBank(
+            rng.integers(0, 255, (200, 1356, 2040, 3), np.uint8),
+            np.tile([[1356, 2040]], (200, 1)).astype(np.int32),
+        )
+        noisy_h = ImageBank(
+            rng.integers(0, 255, (400, 339, 510, 3), np.uint8),
+            np.tile([[339, 510]], (400, 1)).astype(np.int32),
+        )
+        # layout-pinned step (the whole-bank relayout fix)
+        banked_step, clean, noisy = make_banked_step(trainer, clean_h, noisy_h)
+        idx = jnp.asarray(
+            rng.integers(0, 400, (max(1, args.k), args.batch), np.int32)
+        )
+        seed_box = [0]
+
+        def step(st):
+            seed_box[0] += 1
+            return banked_step(st, idx, seed_box[0], args.crop)
+
+        # banked metrics are last-step scalars (K-axis stripped in-jit)
+        fence = lambda m: float(m["loss/g_overall_loss"])  # noqa: E731
+    elif args.k > 1:
         step = lambda st: trainer.train_multi_step(st, batch)  # noqa: E731
         fence = lambda m: float(m["loss/g_overall_loss"][-1])  # noqa: E731
     else:
