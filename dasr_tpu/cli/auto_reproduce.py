@@ -103,10 +103,13 @@ def main(argv=None):
             dsn_args += ["--num_epochs", str(args.num_epochs),
                          "--num_decay_epochs", str(max(1, args.num_epochs // 3))]
         if not args.no_fast_path:
-            # exactness-tested perf path (BENCH_NOTES: 180.7 -> 57.8 ms/step)
-            # + decoded-image cache (few-core hosts are decode-bound)
+            # exactness-tested perf path (BENCH_NOTES: 180.7 -> 57.8 ms/step
+            # r2; --device_bank 52.1 -> 41.8 ms/step r4 — whole corpus
+            # resident in HBM, crops sampled in-step, auto-fallback to the
+            # host loader over budget) + decoded-image cache (few-core
+            # hosts are decode-bound)
             dsn_args += ["--transfer_uint8", "--device_bicubic",
-                         "--decode_cache_gb", "24"]
+                         "--device_bank", "--decode_cache_gb", "24"]
         else:
             # dsn_train defaults to bf16 compute; a "fully plain" run
             # should also use the reference's f32 numerics

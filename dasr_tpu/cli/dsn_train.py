@@ -165,16 +165,32 @@ def main(argv=None):
 
     use_bank = False
     if opt.device_bank:
-        from dasr_tpu.data.device_bank import bank_nbytes, build_bank
+        from dasr_tpu.data.device_bank import (
+            bank_min_hw,
+            bank_nbytes,
+            build_bank,
+        )
 
+        crop_eff = opt.crop_size - opt.crop_size % opt.upscale_factor
         need = bank_nbytes(source_dir) + bank_nbytes(target_dir)
-        if need <= opt.device_bank_gb * 2**30:
-            use_bank = True
-        else:
+        if need > opt.device_bank_gb * 2**30:
             print(
                 f"--device_bank: padded corpus needs {need / 2**30:.1f} GiB "
                 f"> budget {opt.device_bank_gb} GiB; using the host loader"
             )
+        elif (
+            min(bank_min_hw(source_dir)) < crop_eff // opt.upscale_factor
+            or min(bank_min_hw(target_dir)) < crop_eff
+        ):
+            # the host loader's _rand_crop silently truncates on images
+            # smaller than the crop; the bank's fixed-size in-step slices
+            # cannot, so keep that (degenerate) case on the host path
+            print(
+                f"--device_bank: corpus has images smaller than the "
+                f"{crop_eff}px crop; using the host loader"
+            )
+        else:
+            use_bank = True
 
     loader = None
     clean_bank = noisy_bank = None

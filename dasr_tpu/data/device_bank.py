@@ -63,6 +63,27 @@ def bank_nbytes(dir_or_files) -> int:
     return len(files) * hmax * wmax * 3
 
 
+def bank_min_hw(dir_or_files) -> tuple[int, int]:
+    """Smallest (h, w) over the bank's images WITHOUT decoding (PIL header
+    reads) — lets callers gate on crop-size fit before committing to the
+    bank path (the host loader's _rand_crop silently truncates on images
+    smaller than the crop; the bank path has no equivalent, so the CLI
+    falls back to the host loader instead)."""
+    from PIL import Image
+
+    files = (
+        list_images(dir_or_files)
+        if isinstance(dir_or_files, (str, os.PathLike))
+        else list(dir_or_files)
+    )
+    hmin = wmin = 1 << 30
+    for f in files:
+        with Image.open(f) as im:
+            w, h = im.size
+        hmin, wmin = min(hmin, h), min(wmin, w)
+    return hmin, wmin
+
+
 def build_bank(dir_or_files, min_size: int | None = None) -> ImageBank:
     """Decode every image (through the in-RAM decode cache if enabled) into
     one padded uint8 array. ``min_size`` guards that every image can serve

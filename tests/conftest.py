@@ -17,11 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the suite is compile-dominated on CPU too
-_cache = os.path.join(os.path.expanduser("~"), ".cache", "dasr_tpu", "jax_cache_cpu")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compile cache for the suite: on this image, XLA:CPU
+# executable (de)serialization segfaults the interpreter for at least one
+# of the suite's programs (SRGANTrainer.train_multi_step) once enough of
+# the suite has run first — observed deterministically on both the cache
+# read and the cache write path (r4; four crashes, all inside
+# jax/_src/compilation_cache get/put_executable_and_time). A cold suite
+# costs ~15 extra minutes; a segfaulting suite costs the round.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

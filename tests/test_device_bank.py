@@ -244,3 +244,38 @@ def test_banked_cli_single_device_layout_path(corpus, tmp_path):
     for k, v in lines[-1].items():
         if k.startswith("loss/"):
             assert np.isfinite(v)
+
+
+def test_banked_cli_small_image_fallback(tmp_path, capsys):
+    """Images smaller than the crop -> host loader (whose _rand_crop
+    truncates; uniform sizes here so the truncated items still stack),
+    not a bank-build crash."""
+    from dasr_tpu.cli import dsn_train
+
+    rng = np.random.default_rng(5)
+    dirs = {k: tmp_path / k for k in ("source", "target")}
+    for d in dirs.values():
+        d.mkdir()
+    for i in range(4):
+        save_img(rng.random((96, 120, 3)).astype(np.float32),
+                 str(dirs["target"] / f"t{i}.png"))
+        save_img(rng.random((40, 44, 3)).astype(np.float32),
+                 str(dirs["source"] / f"s{i}.png"))
+
+    out = tmp_path / "small"
+    dsn_train.main([
+        "--source_dir", str(dirs["source"]),
+        "--target_dir", str(dirs["target"]),
+        "--generator", "DeResnet", "--discriminator", "FSD",
+        "--filter", "avg_pool", "--num_res_blocks", "1", "--no_per_loss",
+        "--crop_size", "128", "--batch_size", "2", "--num_workers", "2",
+        "--num_epochs", "1", "--num_decay_epochs", "1",
+        "--val_interval", "99", "--save_model_interval", "99",
+        "--device_bank", "--no_bf16",
+        "--experiments_root", str(out), "--save_path", "run",
+    ])
+    assert "smaller than the 128px crop; using the host loader" in (
+        capsys.readouterr().out
+    )
+    lines = [json.loads(ln) for ln in open(out / "run" / "metrics.jsonl")]
+    assert lines and lines[-1]["step"] == 2
