@@ -162,6 +162,14 @@ def main(argv=None):
         config["train"]["niter"] = args.niter
         config["train"]["val_freq"] = max(1, args.niter // 4)
         config["logger"]["save_checkpoint_freq"] = max(1, args.niter // 2)
+    if not args.no_fast_path:
+        # device-side val metrics (one jitted dispatch per image; parity
+        # vs the host f64 protocol < 1e-3 dB / 1e-4 SSIM, tested) with
+        # exact masked shape-bucketing so varied-size val sets compile
+        # once per 128-px bucket. setdefault: a template that sets either
+        # key explicitly wins.
+        config.setdefault("val_device_metrics", True)
+        config.setdefault("val_metrics_pad_bucket", 128)
 
     derived = os.path.join(
         args.work_root, f"train_DASR_auto_reproduce_{args.dataset}.json"

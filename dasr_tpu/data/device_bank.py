@@ -182,6 +182,59 @@ def sample_dsn_batch(
     }
 
 
+def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
+    """``jax.device_put`` pinned to ``fmt``, robust to transfer paths that
+    SILENTLY IGNORE the explicit layout for large buffers.
+
+    Observed through the remote tunnel (r4): a ~200 MiB uint8 bank uploads
+    in the requested (0, 3, 1, 2) layout, but the 1.66 GiB clean bank comes
+    back in the size-dependent default (1, 3, 0, 2) — and the layout-pinned
+    jit then refuses the arg at call time ("Layout passed to jit does not
+    match the layout on the respective arg"). Small banks made this
+    invisible: their default layout coincides with the pin.
+
+    Strategy: small arrays go through one direct put (verified). Large
+    arrays are built ON DEVICE slab-by-slab — each slab is small enough
+    for its put to be honored, and a donated in-place
+    ``dynamic_update_slice`` writes it into a zeros-initialised pinned
+    buffer, so wire traffic stays 1x the bank and peak HBM is
+    bank + one slab (never 2x the bank). The last slab re-uploads a few
+    overlapping rows instead of compiling a second (remainder-shaped)
+    update program. A mismatched slab put falls back to a slab-sized
+    on-device relayout copy.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def put_checked(a):
+        d = jax.device_put(a, fmt)
+        if d.format.layout.major_to_minor == fmt.layout.major_to_minor:
+            return d
+        return jax.jit(lambda v: v, donate_argnums=0, out_shardings=fmt)(d)
+
+    n = x.shape[0]
+    per_img = int(np.prod(x.shape[1:])) * x.dtype.itemsize
+    slab = max(1, min(n, slab_bytes // max(1, per_img)))
+    if x.nbytes <= slab_bytes or slab >= n:
+        return put_checked(x)
+
+    zeros = (0,) * (x.ndim - 1)
+    dst = jax.jit(
+        lambda: jnp.zeros(x.shape, x.dtype), out_shardings=fmt
+    )()
+    upd = jax.jit(
+        lambda d, s, i: lax.dynamic_update_slice(d, s, (i,) + zeros),
+        donate_argnums=0,
+        in_shardings=(fmt, fmt, None),
+        out_shardings=fmt,
+    )
+    for i in range(0, n, slab):
+        i = min(i, n - slab)  # overlap the tail: one update program total
+        dst = upd(dst, put_checked(x[i : i + slab]), np.int32(i))
+    return dst
+
+
 def make_banked_step(trainer, clean_h: ImageBank, noisy_h: ImageBank):
     """Upload both banks ONCE (layout-pinned) and return the banked step.
 
@@ -194,10 +247,12 @@ def make_banked_step(trainer, clean_h: ImageBank, noisy_h: ImageBank):
     per image), and XLA keeps the mismatched layout as the parameter's
     entry layout and bridges with an in-program relayout copy every call.
     The fix pins BOTH sides to the consumer layout: the banks are
-    device_put with an explicit Format((0, 3, 1, 2)) and the jit's entry
-    format for the bank args is pinned to the same Format via
-    ``in_shardings`` — entry == upload == consumer, and the compiled HLO
-    carries zero bank-sized copies (verified against the lowered text).
+    uploaded in an explicit Format((0, 3, 1, 2)) — via ``_pinned_put``,
+    because a plain device_put's explicit layout is silently dropped for
+    GiB-scale buffers through the tunnel — and the jit's entry format for
+    the bank args is pinned to the same Format via ``in_shardings``:
+    entry == upload == consumer, and the compiled HLO carries zero
+    bank-sized copies (verified against the lowered text).
 
     Returns ``(step, clean_dev, noisy_dev)`` where
     ``step(state, idx, seed, crop, flips, rotations, do_g, do_d)``
@@ -214,9 +269,9 @@ def make_banked_step(trainer, clean_h: ImageBank, noisy_h: ImageBank):
     sharding = jax.sharding.SingleDeviceSharding(dev)
     fmt4 = Format(Layout(major_to_minor=(0, 3, 1, 2)), sharding)
     fmt2 = Format(Layout(major_to_minor=(0, 1)), sharding)
-    clean_dev = ImageBank(jax.device_put(clean_h.data, fmt4),
+    clean_dev = ImageBank(_pinned_put(clean_h.data, fmt4),
                           jax.device_put(clean_h.sizes, fmt2))
-    noisy_dev = ImageBank(jax.device_put(noisy_h.data, fmt4),
+    noisy_dev = ImageBank(_pinned_put(noisy_h.data, fmt4),
                           jax.device_put(noisy_h.sizes, fmt2))
     in_sh = (
         None,  # state: inferred

@@ -53,6 +53,31 @@ def test_build_bank_min_size_guard(corpus):
         build_bank(str(corpus["source"]), min_size=64)
 
 
+def test_pinned_put_slab_path_content_and_format():
+    """_pinned_put with a tiny slab budget forces the on-device slab build
+    (the large-bank path where a direct device_put's explicit layout is
+    silently dropped through the tunnel): content must be byte-identical
+    (incl. the overlapping tail slab) and the layout must be the pin."""
+    from jax.experimental.layout import Format, Layout
+
+    from dasr_tpu.data.device_bank import _pinned_put
+
+    dev = jax.devices()[0]
+    fmt = Format(Layout(major_to_minor=(0, 3, 1, 2)),
+                 jax.sharding.SingleDeviceSharding(dev))
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (7, 6, 10, 3), np.uint8)
+    per_img = x[0].nbytes
+    # slab budget of 2 images; 7 % 2 != 0 exercises the overlapped tail
+    d = _pinned_put(x, fmt, slab_bytes=2 * per_img)
+    assert d.format.layout.major_to_minor == (0, 3, 1, 2)
+    np.testing.assert_array_equal(np.asarray(d), x)
+    # small array: direct put path
+    d2 = _pinned_put(x, fmt)
+    np.testing.assert_array_equal(np.asarray(d2), x)
+    assert d2.format.layout.major_to_minor == (0, 3, 1, 2)
+
+
 def test_crop_offsets_law():
     """Uniform over the full valid range [0, dim - crop], inclusive — the
     in-step equivalent of rng.integers(0, dim - crop + 1)."""
