@@ -180,10 +180,12 @@ def main(argv=None):
     t0 = time.time()
     srn_args = ["-opt", derived]
     if not args.no_fast_path:
-        # exactness-tested perf path (BENCH_NOTES: 141.8 -> 65.2 ms/step)
+        # exactness-tested perf path (BENCH_NOTES: 141.8 -> 65.2 ms/step;
+        # --device_bank r5 — whole stage-3 corpus resident in HBM, crops
+        # sampled in-step, auto-fallback to the host loader over budget)
         # + decoded-image cache (few-core hosts are decode-bound)
         srn_args += ["--steps_per_call", "8", "--transfer_uint8",
-                     "--decode_cache_gb", "24"]
+                     "--device_bank", "--decode_cache_gb", "24"]
     srn_train.main(srn_args)
     _tick("srn_train", t0)
     if stage_times:

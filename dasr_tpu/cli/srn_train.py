@@ -37,6 +37,20 @@ def main(argv=None):
                              "crop every epoch; on few-core hosts decode "
                              "bounds the step rate (data/io.py). Also via "
                              "DASR_DECODE_CACHE_GB.")
+    parser.add_argument("--device_bank", action="store_true",
+                        help="upload the whole decoded train corpus (HR + "
+                             "fake LR + real LR + DDMs, padded uint8/f32) "
+                             "to HBM once and sample crops/augments inside "
+                             "the jitted step — per-step wire traffic drops "
+                             "to a (K, B) int32 index window. DASR model + "
+                             "LRHR_wavelet_unpair_fake_weights_EQ mode "
+                             "only; falls back to the host loader when the "
+                             "corpus exceeds --device_bank_gb, has images "
+                             "smaller than the crop, or the mode/model "
+                             "doesn't match.")
+    parser.add_argument("--device_bank_gb", type=float, default=12.0,
+                        help="HBM budget for --device_bank (padded bytes, "
+                             "all four banks)")
     args = parser.parse_args(argv)
 
     from dasr_tpu.utils.runtime import setup_runtime
@@ -81,31 +95,53 @@ def main(argv=None):
     # datasets
     train_loader = None
     val_set = None
+    use_bank = False
+    bank_dirs = None  # (fake_dir, hr_dir, real_dir, ddm_dir)
+    n_train_imgs = steps_per_epoch = 0
     for phase, dataset_opt in (opt.get("datasets") or {}).items():
         if phase == "train":
             if args.transfer_uint8:
                 dataset_opt["transfer_uint8"] = True
-            train_set = create_dataset(dataset_opt)
-            train_loader = Loader(
-                train_set,
-                batch_size=int(dataset_opt.get("batch_size", 6) or 6),
-                shuffle=bool(dataset_opt.get("use_shuffle", True)),
-                num_workers=int(dataset_opt.get("n_workers", 6) or 6),
-                drop_last=True,
-                seed=int(train_opt.get("manual_seed", 0) or 0),
-                # keep >= 2 dispatch windows of batches in flight so the
-                # multi-step path never waits on decode
-                prefetch=max(4, 2 * max(1, int(args.steps_per_call))),
-            )
-            logger.info(
-                f"Number of train images: {len(train_set)}, iters per epoch: "
-                f"{len(train_loader)}"
-            )
+            train_ds_opt = dataset_opt
+            if args.device_bank:
+                use_bank, bank_dirs = _bank_gate(
+                    opt, dataset_opt, args.device_bank_gb, logger
+                )
+            if use_bank:
+                from dasr_tpu.data.io import list_images
+
+                n_train_imgs = len(list_images(bank_dirs[0]))
+                steps_per_epoch = max(
+                    1, n_train_imgs // int(dataset_opt.get("batch_size", 6) or 6)
+                )
+                logger.info(
+                    f"Number of train images: {n_train_imgs}, iters per "
+                    f"epoch: {steps_per_epoch} (device bank)"
+                )
+            else:
+                train_set = create_dataset(dataset_opt)
+                train_loader = Loader(
+                    train_set,
+                    batch_size=int(dataset_opt.get("batch_size", 6) or 6),
+                    shuffle=bool(dataset_opt.get("use_shuffle", True)),
+                    num_workers=int(dataset_opt.get("n_workers", 6) or 6),
+                    drop_last=True,
+                    seed=int(train_opt.get("manual_seed", 0) or 0),
+                    # keep >= 2 dispatch windows of batches in flight so the
+                    # multi-step path never waits on decode
+                    prefetch=max(4, 2 * max(1, int(args.steps_per_call))),
+                )
+                n_train_imgs = len(train_set)
+                steps_per_epoch = len(train_loader)
+                logger.info(
+                    f"Number of train images: {n_train_imgs}, iters per "
+                    f"epoch: {steps_per_epoch}"
+                )
         elif phase == "val":
             val_set = create_dataset(dataset_opt)
             logger.info(f"Number of val images: {len(val_set)}")
 
-    assert train_loader is not None, "Train dataset is required."
+    assert train_loader is not None or use_bank, "Train dataset is required."
 
     mesh = meshlib.make_mesh_for_batch(
         int(opt["datasets"]["train"].get("batch_size", 6) or 6)
@@ -132,6 +168,31 @@ def main(argv=None):
             start_iter = model.resume(rstate)
         logger.info(f"Resuming training from iteration: {start_iter}.")
 
+    if use_bank:
+        # build + upload the four banks ONCE (decode rides the decode
+        # cache; upload is layout-pinned on a single device). Done after
+        # resume so a restart doesn't pay the upload twice on failure.
+        from dasr_tpu.data.device_bank import build_bank, build_ddm_bank
+        from dasr_tpu.data.io import list_images
+
+        fake_dir, hr_dir, real_dir, ddm_dir = bank_dirs
+        hr_size = int(train_ds_opt.get("HR_size", 128) or 128)
+        scale = int(opt.get("scale", 4))
+        fake_h = build_bank(fake_dir, min_size=hr_size // scale)
+        hr_h = build_bank(hr_dir, min_size=hr_size)
+        real_h = build_bank(real_dir, min_size=hr_size // scale)
+        ddm_h = build_ddm_bank(list_images(ddm_dir), fake_h.sizes)
+        gib = sum(
+            b.data.nbytes for b in (fake_h, hr_h, real_h, ddm_h)
+        ) / 2**30
+        model.setup_device_bank(
+            fake_h, hr_h, real_h, ddm_h, hr_size,
+            use_flip=bool(train_ds_opt.get("use_flip", True)),
+            use_rot=bool(train_ds_opt.get("use_rot", True)),
+        )
+        del fake_h, hr_h, real_h, ddm_h
+        print(f"device bank: {gib:.2f} GiB resident")
+
     # use_tb_logger mirrors scalars to a real TensorBoard event file
     # (reference: SRN/train.py:50-52 writes ../tb_logger/<name>; here the
     # run lives under the experiment root)
@@ -141,7 +202,7 @@ def main(argv=None):
     writer = MetricsWriter(
         os.path.join(opt["path"]["log"], "metrics.jsonl"), tb_dir=tb_dir
     )
-    total_epochs = int(math.ceil(niter / max(1, len(train_loader))))
+    total_epochs = int(math.ceil(niter / max(1, steps_per_epoch)))
     logger.info(f"Total epochs needed: {total_epochs} for iters {niter}")
 
     current_step = start_iter
@@ -187,11 +248,27 @@ def main(argv=None):
 
     pending = []
     for epoch in range(total_epochs):
-        train_loader.set_epoch(epoch)
-        for batch in train_loader:
+        if use_bank:
+            # drop_last host-loader semantics: steps_per_epoch * bs indices
+            # per epoch; per-(seed, epoch) shuffle matches the Loader's
+            # stream rule so resume replays the same order. Crops/augments/
+            # picks draw from the in-step (manual_seed, iteration) jax PRNG.
+            if bool(train_ds_opt.get("use_shuffle", True)):
+                perm = np.random.default_rng(
+                    (int(train_opt.get("manual_seed", 0) or 0), epoch)
+                ).permutation(n_train_imgs).astype(np.int32)
+            else:
+                perm = np.arange(n_train_imgs, dtype=np.int32)
+            source = (
+                perm[s * bs:(s + 1) * bs] for s in range(steps_per_epoch)
+            )
+        else:
+            train_loader.set_epoch(epoch)
+            source = train_loader
+        for batch in source:
             if current_step >= niter:
                 break
-            if k_steps > 1:
+            if k_steps > 1 or use_bank:
                 pending.append(batch)
                 if len(pending) < k_steps and current_step + len(pending) < niter:
                     continue
@@ -201,7 +278,14 @@ def main(argv=None):
             ):
                 profiler_cm = guards.profile(args.profile)
                 profiler_cm.__enter__()
-            if k_steps > 1:
+            if use_bank:
+                k = len(pending)
+                dev_metrics = model.train_banked_window_async(
+                    np.stack(pending), current_step
+                )
+                metrics = None
+                pending = []
+            elif k_steps > 1:
                 k = len(pending)
                 if can_async:
                     dev_metrics = model.train_multi_step_async(pending)
@@ -274,6 +358,58 @@ def main(argv=None):
     logger.info("Saving the final model.")
     model.save(opt["path"]["training_state"], current_step)
     logger.info("End of training.")
+
+
+def _bank_gate(opt, dataset_opt, budget_gb, logger):
+    """Decide whether --device_bank can serve this run; returns
+    ``(use_bank, (fake_dir, hr_dir, real_dir, ddm_dir))``. Falls back to
+    the host loader (with a logged reason) when the model/mode/update
+    cadence doesn't match, the corpus exceeds the HBM budget, or any image
+    is smaller than its crop (the host _rand_crop silently truncates
+    there; the bank's fixed-size in-step slices cannot)."""
+    from dasr_tpu.data.device_bank import bank_min_hw, bank_nbytes
+
+    def fall(reason):
+        # print, not logger: the gate can fire before logging is usable in
+        # embedded runs, and the CLI tests assert on captured stdout
+        print(f"--device_bank: {reason}; using the host loader")
+        return False, None
+
+    if opt.get("model") != "DASR":
+        return fall(f"model [{opt.get('model')}] is not DASR")
+    train = opt.get("train") or {}
+    if (train.get("G_update_inter", 1) or 1) != 1 or (
+        train.get("D_update_inter", 1) or 1
+    ) != 1:
+        return fall("G/D_update_inter != 1")
+    if dataset_opt.get("mode") != "LRHR_wavelet_unpair_fake_weights_EQ":
+        return fall(f"dataset mode [{dataset_opt.get('mode')}] unsupported")
+    dirs = tuple(
+        dataset_opt.get(k)
+        for k in ("dataroot_fake_LR", "dataroot_HR", "dataroot_real_LR",
+                  "dataroot_fake_weights")
+    )
+    if not all(dirs):
+        return fall("missing a dataroot (fake_LR/HR/real_LR/fake_weights)")
+    fake_dir, hr_dir, real_dir, _ = dirs
+    hr_size = int(dataset_opt.get("HR_size", 128) or 128)
+    lr_size = hr_size // int(opt.get("scale", 4))
+    if min(bank_min_hw(fake_dir)) < lr_size or min(
+        bank_min_hw(real_dir)
+    ) < lr_size or min(bank_min_hw(hr_dir)) < hr_size:
+        return fall("corpus has images smaller than the crop")
+    # padded uint8 banks + the f32 1-channel DDM bank (resized to the
+    # fake-LR sizes at build time: 4/3 of the fake bank's u8 bytes)
+    need = (
+        bank_nbytes(fake_dir) + bank_nbytes(hr_dir) + bank_nbytes(real_dir)
+        + bank_nbytes(fake_dir) * 4 // 3
+    )
+    if need > budget_gb * 2**30:
+        return fall(
+            f"padded corpus needs {need / 2**30:.1f} GiB > budget "
+            f"{budget_gb} GiB"
+        )
+    return True, dirs
 
 
 def _save_tsamples(model, val_set, opt, step, writer=None):

@@ -182,6 +182,133 @@ def sample_dsn_batch(
     }
 
 
+def build_ddm_bank(ddm_files: Sequence[str], lr_sizes) -> ImageBank:
+    """Decode + bilinear-resize every DDM to its fake-LR's full size (the
+    host path resizes the FULL map before cropping — fake_w_dataset.py:66
+    via data/io.resize_linear — so resizing at bank-build time, then
+    cropping in-step, is order-identical), then pad into one (N, Hmax,
+    Wmax, 1) float32 array. ``lr_sizes``: the fake-LR bank's (N, 2) int32
+    true sizes."""
+    from dasr_tpu.data.io import load_ddm, resize_linear
+
+    lr_sizes = np.asarray(lr_sizes)
+    if len(ddm_files) != lr_sizes.shape[0]:
+        raise ValueError(
+            f"device bank: {len(ddm_files)} DDMs vs {lr_sizes.shape[0]} fake LRs"
+        )
+    maps = [
+        resize_linear(load_ddm(f), int(w), int(h))
+        for f, (h, w) in zip(ddm_files, lr_sizes)
+    ]
+    hmax = int(max(m.shape[0] for m in maps))
+    wmax = int(max(m.shape[1] for m in maps))
+    data = np.zeros((len(maps), hmax, wmax, 1), np.float32)
+    for i, m in enumerate(maps):
+        data[i, : m.shape[0], : m.shape[1]] = m
+    return ImageBank(data=data, sizes=lr_sizes.astype(np.int32))
+
+
+def sample_dasr_batch(
+    fake_bank: ImageBank, hr_bank: ImageBank, real_bank: ImageBank,
+    ddm_bank: "ImageBank | None", fake_idx, key, hr_size: int, scale: int,
+    use_flip: bool = True, use_rot: bool = True,
+):
+    """In-step replica of DASRUnpairedDataset.__getitem__'s train branch
+    (datasets.py:175-224, reference codes/SRN/data/
+    LRHR_wavelet_unpairEq_fake_w_dataset.py:95-140): per fake index i —
+
+      * aligned (top, left) over the joint valid range of fake-LR i and its
+        PAIRED HR i (``_rand_crop_aligned``: the x`scale` HR window must fit),
+      * the DDM crop tracks the fake-LR crop exactly,
+      * an independent uniform real-LR (random image + random crop),
+      * an independent uniform unpaired HR (random image + random crop),
+      * one JOINT dihedral augment per item applied to all five tensors
+        (hflip gated by use_flip, vflip+transpose by use_rot — the host
+        ``_augment`` draws once per item, not per tensor).
+
+    Returns the f32 batch the SRN train step consumes: LR_fake/LR_real
+    (B, lr, lr, 3), HR/HR_unpair (B, hr, hr, 3) in [0,1], fake_w
+    (B, lr, lr, 1) f32 (ones when ``ddm_bank`` is None — the UnpairDataset
+    law computes weights online; the trainer ignores fake_w then)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    lr_size = hr_size // scale
+    n_hr = hr_bank.data.shape[0]
+    n_real = real_bank.data.shape[0]
+
+    def one(i, k):
+        ks = jax.random.split(k, 6)
+        # aligned fake-LR/HR offsets (datasets._rand_crop_aligned)
+        lh, lw = fake_bank.sizes[i, 0], fake_bank.sizes[i, 1]
+        hh, hw = hr_bank.sizes[i, 0], hr_bank.sizes[i, 1]
+        span = jnp.maximum(
+            jnp.minimum(
+                jnp.stack([lh, lw]) - lr_size,
+                (jnp.stack([hh, hw]) - lr_size * scale) // scale,
+            ),
+            0,
+        )
+        u = jax.random.uniform(ks[0], (2,))
+        tl = jnp.minimum((u * (span + 1).astype(jnp.float32)).astype(jnp.int32), span)
+        z = jnp.int32(0)
+        lr_fake = lax.dynamic_slice(
+            fake_bank.data, (i, tl[0], tl[1], z), (1, lr_size, lr_size, 3)
+        )[0]
+        hr = lax.dynamic_slice(
+            hr_bank.data, (i, tl[0] * scale, tl[1] * scale, z),
+            (1, hr_size, hr_size, 3),
+        )[0]
+        if ddm_bank is not None:
+            fake_w = lax.dynamic_slice(
+                ddm_bank.data, (i, tl[0], tl[1], z), (1, lr_size, lr_size, 1)
+            )[0]
+        else:
+            fake_w = jnp.ones((lr_size, lr_size, 1), jnp.float32)
+        # independent real-LR pick + crop
+        r = jax.random.randint(ks[1], (), 0, n_real, dtype=jnp.int32)
+        tl_r = crop_offsets(ks[2], real_bank.sizes[r], lr_size)
+        lr_real = lax.dynamic_slice(
+            real_bank.data, (r, tl_r[0], tl_r[1], z), (1, lr_size, lr_size, 3)
+        )[0]
+        # independent unpaired-HR pick + crop
+        j = jax.random.randint(ks[3], (), 0, n_hr, dtype=jnp.int32)
+        tl_u = crop_offsets(ks[4], hr_bank.sizes[j], hr_size)
+        hr_unpair = lax.dynamic_slice(
+            hr_bank.data, (j, tl_u[0], tl_u[1], z), (1, hr_size, hr_size, 3)
+        )[0]
+        # one joint dihedral draw for all five tensors (datasets._augment)
+        do = jax.random.uniform(ks[5], (3,)) < 0.5
+
+        def aug(x):
+            if use_flip:
+                x = jnp.where(do[0], x[:, ::-1, :], x)
+            if use_rot:
+                x = jnp.where(do[1], x[::-1, :, :], x)
+                x = jnp.where(do[2], x.transpose(1, 0, 2), x)
+            return x
+
+        return tuple(aug(t) for t in (lr_fake, lr_real, hr, hr_unpair, fake_w))
+
+    keys = jax.random.split(key, fake_idx.shape[0])
+    # unrolled over the (static) batch dim — B*5 plain dynamic_slice DMAs
+    # (see sample_crops above for why not vmap)
+    parts = [one(fake_idx[b], keys[b]) for b in range(fake_idx.shape[0])]
+
+    def stack(sel, as_f32_255=True):
+        x = jnp.stack([p[sel] for p in parts])
+        return x.astype(jnp.float32) / 255.0 if as_f32_255 else x
+
+    return {
+        "LR_fake": stack(0),
+        "LR_real": stack(1),
+        "HR": stack(2),
+        "HR_unpair": stack(3),
+        "fake_w": stack(4, as_f32_255=False),
+    }
+
+
 def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
     """``jax.device_put`` pinned to ``fmt``, robust to transfer paths that
     SILENTLY IGNORE the explicit layout for large buffers.
@@ -290,3 +417,52 @@ def make_banked_step(trainer, clean_h: ImageBank, noisy_h: ImageBank):
                    do_g, do_d)
 
     return step, clean_dev, noisy_dev
+
+
+def make_banked_srn_step(trainer, fake_h: ImageBank, hr_h: ImageBank,
+                         real_h: ImageBank, ddm_h: "ImageBank | None",
+                         hr_size: int, use_flip: bool = True,
+                         use_rot: bool = True):
+    """SRN/DASR analog of ``make_banked_step``: upload the four stage-3
+    banks ONCE (layout-pinned — same entry==upload==consumer pinning, see
+    make_banked_step's docstring for the relayout-copy mechanism it kills)
+    and return the banked window step.
+
+    Returns ``(step, dev_banks)`` where ``step(state, fake_idx, seed,
+    do_g, do_d)`` runs ``SRNTrainer._train_banked`` over a (K, B) int32
+    fake-index window. Single-device only — the mesh path replicates
+    default-layout banks (the facade handles that branch)."""
+    import functools
+
+    import jax
+    from jax.experimental.layout import Format, Layout
+
+    dev = jax.devices()[0]
+    sharding = jax.sharding.SingleDeviceSharding(dev)
+    fmt4 = Format(Layout(major_to_minor=(0, 3, 1, 2)), sharding)
+    fmt2 = Format(Layout(major_to_minor=(0, 1)), sharding)
+
+    def put_bank(b):
+        return ImageBank(_pinned_put(b.data, fmt4),
+                         jax.device_put(b.sizes, fmt2))
+
+    fake_dev, hr_dev, real_dev = put_bank(fake_h), put_bank(hr_h), put_bank(real_h)
+    ddm_dev = put_bank(ddm_h) if ddm_h is not None else None
+    bank_sh = ImageBank(fmt4, fmt2)
+    in_sh = (
+        None,  # state: inferred
+        bank_sh, bank_sh, bank_sh,
+        bank_sh if ddm_dev is not None else None,
+        None, None, None,  # idx, seed, frozen: inferred
+    )
+    fn = functools.partial(trainer._train_banked.__wrapped__, trainer)
+    jfn = jax.jit(fn, static_argnums=(8, 9, 10, 11, 12), in_shardings=in_sh)
+    frozen = trainer._frozen()
+
+    def step(state, fake_idx, seed, do_g=True, do_d=True):
+        # kwargs are not allowed alongside in_shardings -> positional
+        return jfn(state, fake_dev, hr_dev, real_dev, ddm_dev, fake_idx,
+                   np.uint32(seed), frozen, hr_size, use_flip, use_rot,
+                   do_g, do_d)
+
+    return step, (fake_dev, hr_dev, real_dev, ddm_dev)

@@ -426,6 +426,7 @@ class DASRModel(_InferenceMixin):
             multiweights=bool(opt.get("multiweights", True)),
             g_update_inter=train.get("G_update_inter", 1) or 1,
             d_update_inter=train.get("D_update_inter", 1) or 1,
+            seed=int(train.get("manual_seed", 0) or 0),
             dtype=jnp.bfloat16 if opt.get("bf16", True) else None,
         )
         lpips_vars = _default_lpips_variables(opt)
@@ -578,6 +579,62 @@ class DASRModel(_InferenceMixin):
     @staticmethod
     def metrics_to_host(metrics):
         return _metrics_to_host(metrics, reduce_mean=True)
+
+    def setup_device_bank(self, fake_h, hr_h, real_h, ddm_h, hr_size: int,
+                          use_flip: bool = True, use_rot: bool = True):
+        """Upload the four stage-3 banks once and prepare the banked window
+        step (data/device_bank.py). Single device: layout-pinned jit (zero
+        per-dispatch bank relayout copies; see make_banked_step's docstring
+        for the mechanism); mesh: replicated default-layout banks (the
+        known relayout cost, same as the DSN mesh branch). Requires
+        G/D_update_inter == 1 — the banked window scans K fixed do_g/do_d
+        steps, like ``supports_multi_step``."""
+        assert self.supports_multi_step, (
+            "--device_bank requires G_update_inter == D_update_inter == 1"
+        )
+        mesh = self.trainer.mesh
+        if mesh is None or int(np.prod(mesh.devices.shape)) == 1:
+            from dasr_tpu.data.device_bank import make_banked_srn_step
+
+            self._banked_step, self._banks = make_banked_srn_step(
+                self.trainer, fake_h, hr_h, real_h, ddm_h, hr_size,
+                use_flip=use_flip, use_rot=use_rot,
+            )
+        else:
+            from dasr_tpu.core import mesh as meshlib
+            from dasr_tpu.data.device_bank import ImageBank
+
+            def put_bank(b):
+                if b is None:
+                    return None
+                return ImageBank(data=meshlib.replicate(mesh, b.data),
+                                 sizes=meshlib.replicate(mesh, b.sizes))
+
+            banks = tuple(put_bank(b) for b in (fake_h, hr_h, real_h, ddm_h))
+            self._banks = banks
+
+            def step(state, fake_idx, seed, do_g=True, do_d=True):
+                return self.trainer.train_banked_step(
+                    state, *banks, fake_idx, seed, hr_size,
+                    use_flip=use_flip, use_rot=use_rot, do_g=do_g, do_d=do_d,
+                )
+
+            self._banked_step = step
+        return self
+
+    def train_banked_window_async(self, fake_idx, seed):
+        """Dispatch one (K, B) banked window (after ``setup_device_bank``)
+        and return the DEVICE metrics without fencing — read them later
+        with ``metrics_to_host`` (the srn_train lagged-readback protocol).
+        ``fake_idx``: (K, B) int32 host array; ``seed``: window-start
+        iteration (resume replays the same stream)."""
+        mesh = self.trainer.mesh
+        if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+            from dasr_tpu.core import mesh as meshlib
+
+            fake_idx = meshlib.shard_stacked_batch(mesh, fake_idx)
+        self.state, metrics = self._banked_step(self.state, fake_idx, seed)
+        return metrics
 
     def save(self, ckpt_dir: str, iter_step: int):
         checkpoints.save_checkpoint(ckpt_dir, self.state, iter_step)

@@ -35,9 +35,11 @@ from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from dasr_tpu.core import mesh as meshlib
+from dasr_tpu.data.device_bank import sample_dasr_batch
 from dasr_tpu.losses.gan import gan_loss, ragan_pair_loss
 from dasr_tpu.losses.lpips import LPIPS
 from dasr_tpu.nn.discriminators import NLayerDiscriminator
@@ -85,6 +87,7 @@ class SRNConfig:
     multiweights: bool = True
     g_update_inter: int = 1
     d_update_inter: int = 1
+    seed: int = 0  # folded into in-step PRNG draws (device-bank sampling)
     dtype: Any = None
 
 
@@ -344,14 +347,18 @@ class SRNTrainer:
             metrics,
         )
 
-    def train_step(self, state: GANTrainState, batch, do_g: bool = True,
-                   do_d: bool = True):
+    def _frozen(self):
+        """The non-trained feature nets (LPIPS / VGG) as a runtime arg dict."""
         frozen = {}
         if self.cfg.feature_weight > 0 and self.cfg.feature_criterion == "LPIPS":
             frozen["lpips"] = self.lpips_variables
         if self.cfg.feature_weight > 0 and self.cfg.feature_criterion in ("l1", "l2"):
             frozen["vgg"] = self.vgg_variables
-        return self._train_step(state, batch, frozen, do_g=do_g, do_d=do_d)
+        return frozen
+
+    def train_step(self, state: GANTrainState, batch, do_g: bool = True,
+                   do_d: bool = True):
+        return self._train_step(state, batch, self._frozen(), do_g=do_g, do_d=do_d)
 
     @functools.partial(jax.jit, static_argnames=("self", "do_g", "do_d"))
     def _train_multi(self, state: GANTrainState, batches, frozen,
@@ -371,12 +378,61 @@ class SRNTrainer:
         ~9 ms against ~36 ms of device work (measured, BENCH_NOTES.md) —
         scanning K steps amortizes it to ~0.
         """
-        frozen = {}
-        if self.cfg.feature_weight > 0 and self.cfg.feature_criterion == "LPIPS":
-            frozen["lpips"] = self.lpips_variables
-        if self.cfg.feature_weight > 0 and self.cfg.feature_criterion in ("l1", "l2"):
-            frozen["vgg"] = self.vgg_variables
-        return self._train_multi(state, batches, frozen, do_g=do_g, do_d=do_d)
+        return self._train_multi(state, batches, self._frozen(), do_g=do_g,
+                                 do_d=do_d)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "hr_size", "use_flip", "use_rot",
+                         "do_g", "do_d"),
+    )
+    def _train_banked(self, state, fake_bank, hr_bank, real_bank, ddm_bank,
+                      fake_idx, seed, frozen, hr_size, use_flip, use_rot,
+                      do_g=True, do_d=True):
+        # (run seed, window position) -> key: resume-consistent crop streams
+        key = jax.random.fold_in(jax.random.key(self.cfg.seed), seed)
+
+        def body(carry, idx_row):
+            st, kk = carry
+            kk, sub = jax.random.split(kk)
+            batch = sample_dasr_batch(
+                fake_bank, hr_bank, real_bank, ddm_bank, idx_row, sub,
+                hr_size, self.cfg.scale, use_flip, use_rot,
+            )
+            st, metrics = self._train_step(
+                st, batch, frozen, do_g=do_g, do_d=do_d
+            )
+            return (st, kk), metrics
+
+        if fake_idx.shape[0] == 1:
+            # K=1: direct body call instead of a length-1 lax.scan (same
+            # device ops; keeps the HLO free of a degenerate while op)
+            (state, _), metrics = body((state, key), fake_idx[0])
+            return state, metrics
+        (state, _), metrics = jax.lax.scan(body, (state, key), fake_idx)
+        # last-step metrics selected IN-jit (host-side (K,) stripping costs
+        # ~9 tiny dispatches/window through the tunnel; BENCH_NOTES r4)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    def train_banked_step(self, state: GANTrainState, fake_bank, hr_bank,
+                          real_bank, ddm_bank, fake_idx, seed, hr_size: int,
+                          use_flip: bool = True, use_rot: bool = True,
+                          do_g: bool = True, do_d: bool = True):
+        """K DASR train steps sampling crops from DEVICE-RESIDENT banks
+        (data/device_bank.py:sample_dasr_batch) — per-dispatch wire traffic
+        is the (K, B) int32 fake-index window + a uint32 seed, vs ~1 MB/step
+        of five-tensor crop uploads on the host-loader path. Same math as K
+        sequential ``train_step``s on DASRUnpairedDataset batches — the
+        per-draw sampling law is identical, the PRNG stream is jax instead
+        of numpy (tests/test_srn_device_bank.py pins the law and the
+        step-math exactness). ``seed``: a per-window host integer (the CLI
+        passes the iteration at window start), folded with ``cfg.seed``
+        in-step. Metrics are the LAST step's values, selected in-jit."""
+        return self._train_banked(
+            state, fake_bank, hr_bank, real_bank, ddm_bank, fake_idx,
+            np.uint32(seed), self._frozen(), hr_size, use_flip, use_rot,
+            do_g=do_g, do_d=do_d,
+        )
 
     # -- inference --------------------------------------------------------------
 
