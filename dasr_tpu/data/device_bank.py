@@ -329,16 +329,42 @@ def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
     overlapping rows instead of compiling a second (remainder-shaped)
     update program. A mismatched slab put falls back to a slab-sized
     on-device relayout copy.
+
+    PERSISTENT-CACHE HAZARD (r5, reproduced in isolation): the pinned
+    helper programs here must compile with the persistent compilation
+    cache DISABLED. The cache key does not distinguish custom
+    entry/output layouts, so a cache HIT can return an executable whose
+    custom OUTPUT layout was dropped — the donated update then emits a
+    default-layout (1, 3, 0, 2)-tiled buffer and the next slab update
+    (or the layout-pinned step jit) rejects it with "Layout passed to
+    jit does not match the layout on the respective arg". This is
+    exactly how the first r5 Auto_Reproduce attempt died in stage 3:
+    stage 1 compiled the same-shape update fresh (layout honored, cache
+    written), stage 3 hit that entry and lost the pin. The helpers are
+    trivial programs (zeros + dynamic_update_slice), so skipping the
+    cache costs a few seconds per bank, once per run.
     """
+    import contextlib
+
     import jax
     import jax.numpy as jnp
     from jax import lax
+
+    @contextlib.contextmanager
+    def no_persistent_cache():
+        prev = jax.config.jax_enable_compilation_cache
+        jax.config.update("jax_enable_compilation_cache", False)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_compilation_cache", prev)
 
     def put_checked(a):
         d = jax.device_put(a, fmt)
         if d.format.layout.major_to_minor == fmt.layout.major_to_minor:
             return d
-        return jax.jit(lambda v: v, donate_argnums=0, out_shardings=fmt)(d)
+        with no_persistent_cache():
+            return jax.jit(lambda v: v, donate_argnums=0, out_shardings=fmt)(d)
 
     n = x.shape[0]
     per_img = int(np.prod(x.shape[1:])) * x.dtype.itemsize
@@ -347,18 +373,26 @@ def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
         return put_checked(x)
 
     zeros = (0,) * (x.ndim - 1)
-    dst = jax.jit(
-        lambda: jnp.zeros(x.shape, x.dtype), out_shardings=fmt
-    )()
-    upd = jax.jit(
-        lambda d, s, i: lax.dynamic_update_slice(d, s, (i,) + zeros),
-        donate_argnums=0,
-        in_shardings=(fmt, fmt, None),
-        out_shardings=fmt,
-    )
-    for i in range(0, n, slab):
-        i = min(i, n - slab)  # overlap the tail: one update program total
-        dst = upd(dst, put_checked(x[i : i + slab]), np.int32(i))
+    with no_persistent_cache():
+        dst = jax.jit(
+            lambda: jnp.zeros(x.shape, x.dtype), out_shardings=fmt
+        )()
+        upd = jax.jit(
+            lambda d, s, i: lax.dynamic_update_slice(d, s, (i,) + zeros),
+            donate_argnums=0,
+            in_shardings=(fmt, fmt, None),
+            out_shardings=fmt,
+        )
+        for i in range(0, n, slab):
+            i = min(i, n - slab)  # overlap the tail: one update program
+            dst = upd(dst, put_checked(x[i : i + slab]), np.int32(i))
+    if dst.format.layout.major_to_minor != fmt.layout.major_to_minor:
+        raise RuntimeError(
+            "_pinned_put: slab build lost the pinned layout "
+            f"({dst.format.layout.major_to_minor} != "
+            f"{fmt.layout.major_to_minor}); see the persistent-cache "
+            "hazard note in this docstring"
+        )
     return dst
 
 
@@ -465,4 +499,8 @@ def make_banked_srn_step(trainer, fake_h: ImageBank, hr_h: ImageBank,
                    np.uint32(seed), frozen, hr_size, use_flip, use_rot,
                    do_g, do_d)
 
-    return step, (fake_dev, hr_dev, real_dev, ddm_dev)
+    # introspection hooks (tools/probe_srn_e2e.py --hlo_check lowers the
+    # same program and scans the compiled text for bank-sized copies)
+    step._jfn, step._frozen, step._hr_size = jfn, frozen, hr_size
+    step._banks = (fake_dev, hr_dev, real_dev, ddm_dev)
+    return step, step._banks
