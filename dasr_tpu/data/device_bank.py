@@ -330,19 +330,25 @@ def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
     update program. A mismatched slab put falls back to a slab-sized
     on-device relayout copy.
 
-    PERSISTENT-CACHE HAZARD (r5, reproduced in isolation): the pinned
-    helper programs here must compile with the persistent compilation
-    cache DISABLED. The cache key does not distinguish custom
-    entry/output layouts, so a cache HIT can return an executable whose
-    custom OUTPUT layout was dropped — the donated update then emits a
-    default-layout (1, 3, 0, 2)-tiled buffer and the next slab update
-    (or the layout-pinned step jit) rejects it with "Layout passed to
-    jit does not match the layout on the respective arg". This is
-    exactly how the first r5 Auto_Reproduce attempt died in stage 3:
-    stage 1 compiled the same-shape update fresh (layout honored, cache
-    written), stage 3 hit that entry and lost the pin. The helpers are
-    trivial programs (zeros + dynamic_update_slice), so skipping the
-    cache costs a few seconds per bank, once per run.
+    PIN-DROP HAZARDS (r4/r5, all observed live): custom layouts on this
+    backend are best-effort at EVERY layer, so every product here is
+    verified and repaired instead of trusted —
+
+      * ``jax.device_put`` silently drops explicit layouts for GiB-scale
+        buffers (r4) and for some small shapes whose pin differs from the
+        tiled default (r5: an int32 (N, 2) pin of (0, 1) comes back
+        (1, 0)-tiled) — hence ``put_checked``;
+      * a persistent-compilation-cache HIT can return an executable whose
+        custom OUTPUT layout was dropped (the cache key does not
+        distinguish custom layouts; reproduced in isolation r5), so the
+        helper programs compile with the cache disabled — they are
+        trivial, a few seconds per bank, once per run;
+      * even a fresh-compiled pinned program's output can come back in
+        the default layout NON-DETERMINISTICALLY (r5: the same stage-3
+        upload crashed at 14:17 after succeeding at 14:01 on identical
+        code) — hence ``repin`` verifies after EVERY step and relayouts
+        on the spot (a full-bank relayout is ~320 GB/s device-side, ~20
+        ms worst case, and only runs when a drop actually happened).
     """
     import contextlib
 
@@ -359,12 +365,23 @@ def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
         finally:
             jax.config.update("jax_enable_compilation_cache", prev)
 
+    with no_persistent_cache():
+        relayout = jax.jit(lambda v: v, donate_argnums=0, out_shardings=fmt)
+
+    def repin(d, what):
+        for _ in range(4):
+            if d.format.layout.major_to_minor == fmt.layout.major_to_minor:
+                return d
+            with no_persistent_cache():
+                d = relayout(d)
+        raise RuntimeError(
+            f"_pinned_put: {what} layout would not pin after retries "
+            f"({d.format.layout.major_to_minor} != "
+            f"{fmt.layout.major_to_minor})"
+        )
+
     def put_checked(a):
-        d = jax.device_put(a, fmt)
-        if d.format.layout.major_to_minor == fmt.layout.major_to_minor:
-            return d
-        with no_persistent_cache():
-            return jax.jit(lambda v: v, donate_argnums=0, out_shardings=fmt)(d)
+        return repin(jax.device_put(a, fmt), "device_put")
 
     n = x.shape[0]
     per_img = int(np.prod(x.shape[1:])) * x.dtype.itemsize
@@ -377,6 +394,7 @@ def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
         dst = jax.jit(
             lambda: jnp.zeros(x.shape, x.dtype), out_shardings=fmt
         )()
+        dst = repin(dst, "zeros init")
         upd = jax.jit(
             lambda d, s, i: lax.dynamic_update_slice(d, s, (i,) + zeros),
             donate_argnums=0,
@@ -385,14 +403,10 @@ def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
         )
         for i in range(0, n, slab):
             i = min(i, n - slab)  # overlap the tail: one update program
-            dst = upd(dst, put_checked(x[i : i + slab]), np.int32(i))
-    if dst.format.layout.major_to_minor != fmt.layout.major_to_minor:
-        raise RuntimeError(
-            "_pinned_put: slab build lost the pinned layout "
-            f"({dst.format.layout.major_to_minor} != "
-            f"{fmt.layout.major_to_minor}); see the persistent-cache "
-            "hazard note in this docstring"
-        )
+            dst = repin(
+                upd(dst, put_checked(x[i : i + slab]), np.int32(i)),
+                "slab update",
+            )
     return dst
 
 
@@ -429,15 +443,23 @@ def make_banked_step(trainer, clean_h: ImageBank, noisy_h: ImageBank):
     dev = jax.devices()[0]
     sharding = jax.sharding.SingleDeviceSharding(dev)
     fmt4 = Format(Layout(major_to_minor=(0, 3, 1, 2)), sharding)
-    fmt2 = Format(Layout(major_to_minor=(0, 1)), sharding)
+    # only the GiB-scale data arrays are layout-pinned. The KB-scale sizes
+    # arrays ride device_put's default layout with an INFERRED jit entry:
+    # pinning them buys nothing (a KB relayout is free) and device_put
+    # pins are silently dropped for some shapes — an int32 (N, 2) pin of
+    # (0, 1) comes back (1, 0)-tiled and the pinned jit then rejects the
+    # arg (r5 stage-3 failure; see _pinned_put's cache note for the data
+    # arrays' variant of the same disease).
     clean_dev = ImageBank(_pinned_put(clean_h.data, fmt4),
-                          jax.device_put(clean_h.sizes, fmt2))
+                          jax.device_put(clean_h.sizes, sharding))
     noisy_dev = ImageBank(_pinned_put(noisy_h.data, fmt4),
-                          jax.device_put(noisy_h.sizes, fmt2))
+                          jax.device_put(noisy_h.sizes, sharding))
     in_sh = (
         None,  # state: inferred
-        ImageBank(fmt4, fmt2),
-        ImageBank(fmt4, fmt2),
+        # sizes entries: sharding-only (layout auto) — a None leaf inside
+        # a pytree prefix would read as an empty subtree, not "inferred"
+        ImageBank(fmt4, sharding),
+        ImageBank(fmt4, sharding),
         None, None, None,  # idx, seed, lpips: inferred
     )
     fn = functools.partial(trainer._train_banked.__wrapped__, trainer)
@@ -474,15 +496,15 @@ def make_banked_srn_step(trainer, fake_h: ImageBank, hr_h: ImageBank,
     dev = jax.devices()[0]
     sharding = jax.sharding.SingleDeviceSharding(dev)
     fmt4 = Format(Layout(major_to_minor=(0, 3, 1, 2)), sharding)
-    fmt2 = Format(Layout(major_to_minor=(0, 1)), sharding)
+    # sizes arrays: default layout + inferred entry (see make_banked_step)
 
     def put_bank(b):
         return ImageBank(_pinned_put(b.data, fmt4),
-                         jax.device_put(b.sizes, fmt2))
+                         jax.device_put(b.sizes, sharding))
 
     fake_dev, hr_dev, real_dev = put_bank(fake_h), put_bank(hr_h), put_bank(real_h)
     ddm_dev = put_bank(ddm_h) if ddm_h is not None else None
-    bank_sh = ImageBank(fmt4, fmt2)
+    bank_sh = ImageBank(fmt4, sharding)  # sizes: layout auto
     in_sh = (
         None,  # state: inferred
         bank_sh, bank_sh, bank_sh,
