@@ -365,15 +365,36 @@ def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
         finally:
             jax.config.update("jax_enable_compilation_cache", prev)
 
-    with no_persistent_cache():
-        relayout = jax.jit(lambda v: v, donate_argnums=0, out_shardings=fmt)
+    # NO donation on the relayout: a donated identity jit may ALIAS input
+    # to output and keep the input's layout, overriding out_shardings.
+    # Without donation XLA must materialize a new buffer in the requested
+    # layout (transient 2x the buffer, slab-sized in practice).
+    relayout = jax.jit(lambda v: v, out_shardings=fmt)
+
+    def with_transient_retry(f, what):
+        # remote-backend puts/compiles fail transiently through the tunnel
+        # (generic INVALID_ARGUMENT "TPU backend error" observed between
+        # two successful identical runs); retry with backoff before
+        # declaring the upload dead
+        import time
+
+        for attempt in range(5):
+            try:
+                return f()
+            except jax.errors.JaxRuntimeError as e:
+                if attempt == 4:
+                    raise
+                wait = 5.0 * (attempt + 1)
+                print(f"_pinned_put: transient backend error during {what} "
+                      f"({e!s:.120}); retry in {wait:.0f}s", flush=True)
+                time.sleep(wait)
 
     def repin(d, what):
         for _ in range(4):
             if d.format.layout.major_to_minor == fmt.layout.major_to_minor:
                 return d
             with no_persistent_cache():
-                d = relayout(d)
+                d = with_transient_retry(lambda: relayout(d), f"{what} relayout")
         raise RuntimeError(
             f"_pinned_put: {what} layout would not pin after retries "
             f"({d.format.layout.major_to_minor} != "
@@ -381,7 +402,17 @@ def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
         )
 
     def put_checked(a):
-        return repin(jax.device_put(a, fmt), "device_put")
+        def attempt():
+            try:
+                return jax.device_put(a, fmt)
+            except jax.errors.JaxRuntimeError:
+                # pinned put rejected outright: take the default-layout
+                # path and let repin relayout on device
+                return jax.device_put(
+                    a, fmt.sharding if hasattr(fmt, "sharding") else None
+                )
+
+        return repin(with_transient_retry(attempt, "slab put"), "device_put")
 
     n = x.shape[0]
     per_img = int(np.prod(x.shape[1:])) * x.dtype.itemsize
