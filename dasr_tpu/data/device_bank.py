@@ -395,11 +395,17 @@ def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
                 return d
             with no_persistent_cache():
                 d = with_transient_retry(lambda: relayout(d), f"{what} relayout")
-        raise RuntimeError(
-            f"_pinned_put: {what} layout would not pin after retries "
-            f"({d.format.layout.major_to_minor} != "
-            f"{fmt.layout.major_to_minor})"
-        )
+        # BEST EFFORT, not fatal: the backend refuses the pin for this
+        # buffer right now (observed non-deterministically on the remote
+        # tunnel). The caller derives the step's entry format from the
+        # ACTUAL uploaded array, so a dropped pin costs an in-program
+        # relayout bridge (measurable via probe_srn_e2e --hlo_check), not
+        # a crash.
+        print(f"_pinned_put: {what} layout would not pin after retries "
+              f"({d.format.layout.major_to_minor} != "
+              f"{fmt.layout.major_to_minor}); continuing unpinned",
+              flush=True)
+        return d
 
     def put_checked(a):
         def attempt():
@@ -485,12 +491,15 @@ def make_banked_step(trainer, clean_h: ImageBank, noisy_h: ImageBank):
                           jax.device_put(clean_h.sizes, sharding))
     noisy_dev = ImageBank(_pinned_put(noisy_h.data, fmt4),
                           jax.device_put(noisy_h.sizes, sharding))
+    # entry formats come from the ACTUAL uploaded arrays (entry == upload
+    # by construction) — when every pin held this is exactly fmt4 and the
+    # compiled HLO carries zero bank-sized copies; when the backend
+    # refused a pin (best-effort _pinned_put) the step still compiles and
+    # runs, paying only that bank's in-program relayout bridge
     in_sh = (
         None,  # state: inferred
-        # sizes entries: sharding-only (layout auto) — a None leaf inside
-        # a pytree prefix would read as an empty subtree, not "inferred"
-        ImageBank(fmt4, sharding),
-        ImageBank(fmt4, sharding),
+        ImageBank(clean_dev.data.format, clean_dev.sizes.format),
+        ImageBank(noisy_dev.data.format, noisy_dev.sizes.format),
         None, None, None,  # idx, seed, lpips: inferred
     )
     fn = functools.partial(trainer._train_banked.__wrapped__, trainer)
@@ -535,11 +544,17 @@ def make_banked_srn_step(trainer, fake_h: ImageBank, hr_h: ImageBank,
 
     fake_dev, hr_dev, real_dev = put_bank(fake_h), put_bank(hr_h), put_bank(real_h)
     ddm_dev = put_bank(ddm_h) if ddm_h is not None else None
-    bank_sh = ImageBank(fmt4, sharding)  # sizes: layout auto
+
+    # entry formats from the ACTUAL uploaded arrays — entry == upload by
+    # construction (see make_banked_step); a refused pin degrades to that
+    # bank's in-program relayout bridge instead of a crash
+    def bank_sh(b):
+        return ImageBank(b.data.format, b.sizes.format)
+
     in_sh = (
         None,  # state: inferred
-        bank_sh, bank_sh, bank_sh,
-        bank_sh if ddm_dev is not None else None,
+        bank_sh(fake_dev), bank_sh(hr_dev), bank_sh(real_dev),
+        bank_sh(ddm_dev) if ddm_dev is not None else None,
         None, None, None,  # idx, seed, frozen: inferred
     )
     fn = functools.partial(trainer._train_banked.__wrapped__, trainer)
