@@ -432,19 +432,22 @@ def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
             lambda: jnp.zeros(x.shape, x.dtype), out_shardings=fmt
         )()
         dst = repin(dst, "zeros init")
+        # the slab updater carries NO layout constraints: entries are
+        # inferred from whatever layouts the backend actually granted (a
+        # hard (fmt, fmt) pin here crashed the 15:22 run the moment the
+        # zeros init came back unpinned), and jit recompiles on a layout
+        # change mid-loop — bounded by the handful of distinct layouts in
+        # play. Donation keeps peak HBM at bank + one slab.
         upd = jax.jit(
             lambda d, s, i: lax.dynamic_update_slice(d, s, (i,) + zeros),
             donate_argnums=0,
-            in_shardings=(fmt, fmt, None),
-            out_shardings=fmt,
         )
         for i in range(0, n, slab):
             i = min(i, n - slab)  # overlap the tail: one update program
-            dst = repin(
-                upd(dst, put_checked(x[i : i + slab]), np.int32(i)),
-                "slab update",
-            )
-    return dst
+            dst = upd(dst, put_checked(x[i : i + slab]), np.int32(i))
+    # one best-effort repin of the finished bank (skipped when already
+    # pinned; transient 2x this bank's bytes when it runs)
+    return repin(dst, "final bank")
 
 
 def make_banked_step(trainer, clean_h: ImageBank, noisy_h: ImageBank):
