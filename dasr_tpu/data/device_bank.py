@@ -378,13 +378,13 @@ def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
         # declaring the upload dead
         import time
 
-        for attempt in range(5):
+        for attempt in range(7):
             try:
                 return f()
             except jax.errors.JaxRuntimeError as e:
-                if attempt == 4:
+                if attempt == 6:
                     raise
-                wait = 5.0 * (attempt + 1)
+                wait = 10.0 * 2 ** attempt  # 10s .. 640s: outlast tunnel blips
                 print(f"_pinned_put: transient backend error during {what} "
                       f"({e!s:.120}); retry in {wait:.0f}s", flush=True)
                 time.sleep(wait)
