@@ -24,6 +24,13 @@ jax.config.update("jax_platforms", "cpu")
 # read and the cache write path (r4; four crashes, all inside
 # jax/_src/compilation_cache get/put_executable_and_time). A cold suite
 # costs ~15 extra minutes; a segfaulting suite costs the round.
+# The comment above is not enough by itself: CLI tests call
+# utils/runtime.setup_runtime, which sets jax_compilation_cache_dir and
+# re-enables caching mid-suite (r5: the full suite died with a fatal
+# interpreter error once this round's CLI tests had filled the default
+# cache dir). Hard-disable the cache for the whole suite; setup_runtime's
+# cache_dir update is inert while this flag is False.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
