@@ -35,6 +35,24 @@ jax.config.update("jax_enable_compilation_cache", False)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Periodically drop every compiled executable: with the r5 additions the
+# single-process suite started segfaulting INSIDE a fresh XLA:CPU compile
+# around the ~200th test (jax compiler.backend_compile_and_load, during
+# test_trainers_registry — twice, same place) — classic long-lived-JIT
+# resource exhaustion, not the (separately handled) cache-serialization
+# crash. Clearing jax's caches every N tests bounds the number of live
+# executables; cleared jits transparently recompile on next use.
+_CLEAR_EVERY = 25
+_test_count = [0]
+
+
+@pytest.fixture(autouse=True)
+def _bounded_live_executables():
+    yield
+    _test_count[0] += 1
+    if _test_count[0] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
+
 
 @pytest.fixture
 def rng():
