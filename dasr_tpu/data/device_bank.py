@@ -420,6 +420,15 @@ def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
 
         return repin(with_transient_retry(attempt, "slab put"), "device_put")
 
+    # tunnel-weather knobs: DASR_BANK_SLAB_MB shrinks the per-put transfer,
+    # DASR_BANK_THROTTLE_S sleeps between slabs — a degraded tunnel that
+    # still serves isolated ~100 MB puts can collapse under a sustained
+    # multi-GiB upload stream (r5, hours of INVALID_ARGUMENT mid-upload)
+    env_mb = os.environ.get("DASR_BANK_SLAB_MB")
+    if env_mb:
+        slab_bytes = int(float(env_mb) * 2**20)
+    throttle = float(os.environ.get("DASR_BANK_THROTTLE_S", "0") or 0)
+
     n = x.shape[0]
     per_img = int(np.prod(x.shape[1:])) * x.dtype.itemsize
     slab = max(1, min(n, slab_bytes // max(1, per_img)))
@@ -445,6 +454,11 @@ def _pinned_put(x, fmt, slab_bytes: int = 128 << 20):
         for i in range(0, n, slab):
             i = min(i, n - slab)  # overlap the tail: one update program
             dst = upd(dst, put_checked(x[i : i + slab]), np.int32(i))
+            if throttle:
+                dst.block_until_ready()
+                import time as _time
+
+                _time.sleep(throttle)
     # one best-effort repin of the finished bank (skipped when already
     # pinned; transient 2x this bank's bytes when it runs)
     return repin(dst, "final bank")
