@@ -87,7 +87,13 @@ def bank_min_hw(dir_or_files) -> tuple[int, int]:
 def build_bank(dir_or_files, min_size: int | None = None) -> ImageBank:
     """Decode every image (through the in-RAM decode cache if enabled) into
     one padded uint8 array. ``min_size`` guards that every image can serve
-    a full crop (the reference assumes corpus images >= crop size)."""
+    a full crop (the reference assumes corpus images >= crop size).
+
+    ``DASR_BANK_HOST_CACHE=<dir>`` persists the padded array to disk and
+    mmap-loads it on the next build of the SAME file list (keyed by the
+    sorted paths) — relaunching after a tunnel failure then skips the
+    multi-minute decode, and the mmap halves host RAM (pages stream from
+    disk during the upload)."""
     files = (
         list_images(dir_or_files)
         if isinstance(dir_or_files, (str, os.PathLike))
@@ -95,6 +101,26 @@ def build_bank(dir_or_files, min_size: int | None = None) -> ImageBank:
     )
     if not files:
         raise ValueError(f"device bank: no images under {dir_or_files!r}")
+
+    cache_root = os.environ.get("DASR_BANK_HOST_CACHE")
+    cdir = None
+    if cache_root:
+        import hashlib
+
+        key = hashlib.sha1("\n".join(files).encode()).hexdigest()[:16]
+        cdir = os.path.join(cache_root, key)
+        if os.path.exists(os.path.join(cdir, "sizes.npy")):
+            sizes = np.load(os.path.join(cdir, "sizes.npy"))
+            if min_size is not None and (sizes < min_size).any():
+                raise ValueError(
+                    f"device bank: an image is smaller than the "
+                    f"{min_size}px crop"
+                )
+            return ImageBank(
+                data=np.load(os.path.join(cdir, "data.npy"), mmap_mode="r"),
+                sizes=sizes,
+            )
+
     imgs = [read_img_u8(f) for f in files]
     sizes = np.array([im.shape[:2] for im in imgs], np.int32)
     if min_size is not None and (sizes < min_size).any():
@@ -106,6 +132,10 @@ def build_bank(dir_or_files, min_size: int | None = None) -> ImageBank:
     data = np.zeros((len(imgs), hmax, wmax, 3), np.uint8)
     for i, im in enumerate(imgs):
         data[i, : im.shape[0], : im.shape[1]] = im
+    if cdir:
+        os.makedirs(cdir, exist_ok=True)
+        np.save(os.path.join(cdir, "data.npy"), data)
+        np.save(os.path.join(cdir, "sizes.npy"), sizes)
     return ImageBank(data=data, sizes=sizes)
 
 
