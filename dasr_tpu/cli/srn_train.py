@@ -181,9 +181,14 @@ def main(argv=None):
         fake_h = build_bank(fake_dir, min_size=hr_size // scale)
         hr_h = build_bank(hr_dir, min_size=hr_size)
         real_h = build_bank(real_dir, min_size=hr_size // scale)
-        ddm_h = build_ddm_bank(list_images(ddm_dir), fake_h.sizes)
+        # ddm_dir is None for the Adaptive 'LRHR_unpair' mode (online DDM)
+        ddm_h = (
+            build_ddm_bank(list_images(ddm_dir), fake_h.sizes)
+            if ddm_dir else None
+        )
         gib = sum(
             b.data.nbytes for b in (fake_h, hr_h, real_h, ddm_h)
+            if b is not None
         ) / 2**30
         model.setup_device_bank(
             fake_h, hr_h, real_h, ddm_h, hr_size,
@@ -375,22 +380,34 @@ def _bank_gate(opt, dataset_opt, budget_gb, logger):
         print(f"--device_bank: {reason}; using the host loader")
         return False, None
 
-    if opt.get("model") != "DASR":
-        return fall(f"model [{opt.get('model')}] is not DASR")
+    # supported (model, dataset mode) pairs: the DASR trainer with
+    # precomputed DDMs, and the Adaptive trainer whose 'LRHR_unpair' mode
+    # computes weights online (no DDM bank)
+    pairs = {
+        "DASR": "LRHR_wavelet_unpair_fake_weights_EQ",
+        "DASR_Adaptive_Model": "LRHR_unpair",
+    }
+    model = opt.get("model")
+    if model not in pairs:
+        return fall(f"model [{model}] has no banked path")
     train = opt.get("train") or {}
     if (train.get("G_update_inter", 1) or 1) != 1 or (
         train.get("D_update_inter", 1) or 1
     ) != 1:
         return fall("G/D_update_inter != 1")
-    if dataset_opt.get("mode") != "LRHR_wavelet_unpair_fake_weights_EQ":
-        return fall(f"dataset mode [{dataset_opt.get('mode')}] unsupported")
+    if dataset_opt.get("mode") != pairs[model]:
+        return fall(f"dataset mode [{dataset_opt.get('mode')}] unsupported "
+                    f"for model [{model}]")
+    needs_ddm = model == "DASR"
     dirs = tuple(
         dataset_opt.get(k)
-        for k in ("dataroot_fake_LR", "dataroot_HR", "dataroot_real_LR",
-                  "dataroot_fake_weights")
+        for k in ("dataroot_fake_LR", "dataroot_HR", "dataroot_real_LR")
+    ) + (
+        (dataset_opt.get("dataroot_fake_weights"),) if needs_ddm else (None,)
     )
-    if not all(dirs):
-        return fall("missing a dataroot (fake_LR/HR/real_LR/fake_weights)")
+    if not all(dirs[:3]) or (needs_ddm and not dirs[3]):
+        return fall("missing a dataroot (fake_LR/HR/real_LR"
+                    + ("/fake_weights)" if needs_ddm else ")"))
     fake_dir, hr_dir, real_dir, _ = dirs
     hr_size = int(dataset_opt.get("HR_size", 128) or 128)
     lr_size = hr_size // int(opt.get("scale", 4))
@@ -398,11 +415,12 @@ def _bank_gate(opt, dataset_opt, budget_gb, logger):
         bank_min_hw(real_dir)
     ) < lr_size or min(bank_min_hw(hr_dir)) < hr_size:
         return fall("corpus has images smaller than the crop")
-    # padded uint8 banks + the f32 1-channel DDM bank (resized to the
-    # fake-LR sizes at build time: 4/3 of the fake bank's u8 bytes)
+    # padded uint8 banks + (DASR mode) the f32 1-channel DDM bank
+    # (resized to the fake-LR sizes at build time: 4/3 of the fake
+    # bank's u8 bytes)
     need = (
         bank_nbytes(fake_dir) + bank_nbytes(hr_dir) + bank_nbytes(real_dir)
-        + bank_nbytes(fake_dir) * 4 // 3
+        + (bank_nbytes(fake_dir) * 4 // 3 if needs_ddm else 0)
     )
     if need > budget_gb * 2**30:
         return fall(

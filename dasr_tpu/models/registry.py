@@ -391,7 +391,73 @@ class SRModel(_InferenceMixin):
         )
 
 
-class DASRModel(_InferenceMixin):
+class _BankedTrainMixin:
+    """Device-resident-bank training for the unpaired facades (DASR and
+    DASR_Adaptive): upload the stage-3 corpora once, drive (K, B) index
+    windows (srn_train --device_bank). Requires the facade to expose
+    ``self.trainer`` with ``_train_banked``/``_frozen``/``train_banked_step``
+    and ``supports_multi_step``."""
+
+    def setup_device_bank(self, fake_h, hr_h, real_h, ddm_h, hr_size: int,
+                          use_flip: bool = True, use_rot: bool = True):
+        """Upload the stage-3 banks once and prepare the banked window
+        step (data/device_bank.py). Single device: layout-pinned jit
+        (entry == upload — zero bank relayout copies when the backend
+        honors the pins; see make_banked_step's docstring); mesh:
+        replicated default-layout banks (the known relayout cost, same as
+        the DSN mesh branch). Requires G/D_update_inter == 1 — the banked
+        window scans K fixed do_g/do_d steps, like
+        ``supports_multi_step``. ``ddm_h`` is None for the 'LRHR_unpair'
+        (Adaptive) mode — weights are computed online."""
+        assert self.supports_multi_step, (
+            "--device_bank requires G_update_inter == D_update_inter == 1"
+        )
+        mesh = self.trainer.mesh
+        if mesh is None or int(np.prod(mesh.devices.shape)) == 1:
+            from dasr_tpu.data.device_bank import make_banked_srn_step
+
+            self._banked_step, self._banks = make_banked_srn_step(
+                self.trainer, fake_h, hr_h, real_h, ddm_h, hr_size,
+                use_flip=use_flip, use_rot=use_rot,
+            )
+        else:
+            from dasr_tpu.core import mesh as meshlib
+            from dasr_tpu.data.device_bank import ImageBank
+
+            def put_bank(b):
+                if b is None:
+                    return None
+                return ImageBank(data=meshlib.replicate(mesh, b.data),
+                                 sizes=meshlib.replicate(mesh, b.sizes))
+
+            banks = tuple(put_bank(b) for b in (fake_h, hr_h, real_h, ddm_h))
+            self._banks = banks
+
+            def step(state, fake_idx, seed, do_g=True, do_d=True):
+                return self.trainer.train_banked_step(
+                    state, *banks, fake_idx, seed, hr_size,
+                    use_flip=use_flip, use_rot=use_rot, do_g=do_g, do_d=do_d,
+                )
+
+            self._banked_step = step
+        return self
+
+    def train_banked_window_async(self, fake_idx, seed):
+        """Dispatch one (K, B) banked window (after ``setup_device_bank``)
+        and return the DEVICE metrics without fencing — read them later
+        with ``metrics_to_host`` (the srn_train lagged-readback protocol).
+        ``fake_idx``: (K, B) int32 host array; ``seed``: window-start
+        iteration (resume replays the same stream)."""
+        mesh = self.trainer.mesh
+        if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+            from dasr_tpu.core import mesh as meshlib
+
+            fake_idx = meshlib.shard_stacked_batch(mesh, fake_idx)
+        self.state, metrics = self._banked_step(self.state, fake_idx, seed)
+        return metrics
+
+
+class DASRModel(_InferenceMixin, _BankedTrainMixin):
     """'DASR' — the paper's SRN trainer, wrapping dasr_tpu.train.SRNTrainer."""
 
     chop_threshold = 320000  # DASR_model.py:337
@@ -580,62 +646,6 @@ class DASRModel(_InferenceMixin):
     def metrics_to_host(metrics):
         return _metrics_to_host(metrics, reduce_mean=True)
 
-    def setup_device_bank(self, fake_h, hr_h, real_h, ddm_h, hr_size: int,
-                          use_flip: bool = True, use_rot: bool = True):
-        """Upload the four stage-3 banks once and prepare the banked window
-        step (data/device_bank.py). Single device: layout-pinned jit (zero
-        per-dispatch bank relayout copies; see make_banked_step's docstring
-        for the mechanism); mesh: replicated default-layout banks (the
-        known relayout cost, same as the DSN mesh branch). Requires
-        G/D_update_inter == 1 — the banked window scans K fixed do_g/do_d
-        steps, like ``supports_multi_step``."""
-        assert self.supports_multi_step, (
-            "--device_bank requires G_update_inter == D_update_inter == 1"
-        )
-        mesh = self.trainer.mesh
-        if mesh is None or int(np.prod(mesh.devices.shape)) == 1:
-            from dasr_tpu.data.device_bank import make_banked_srn_step
-
-            self._banked_step, self._banks = make_banked_srn_step(
-                self.trainer, fake_h, hr_h, real_h, ddm_h, hr_size,
-                use_flip=use_flip, use_rot=use_rot,
-            )
-        else:
-            from dasr_tpu.core import mesh as meshlib
-            from dasr_tpu.data.device_bank import ImageBank
-
-            def put_bank(b):
-                if b is None:
-                    return None
-                return ImageBank(data=meshlib.replicate(mesh, b.data),
-                                 sizes=meshlib.replicate(mesh, b.sizes))
-
-            banks = tuple(put_bank(b) for b in (fake_h, hr_h, real_h, ddm_h))
-            self._banks = banks
-
-            def step(state, fake_idx, seed, do_g=True, do_d=True):
-                return self.trainer.train_banked_step(
-                    state, *banks, fake_idx, seed, hr_size,
-                    use_flip=use_flip, use_rot=use_rot, do_g=do_g, do_d=do_d,
-                )
-
-            self._banked_step = step
-        return self
-
-    def train_banked_window_async(self, fake_idx, seed):
-        """Dispatch one (K, B) banked window (after ``setup_device_bank``)
-        and return the DEVICE metrics without fencing — read them later
-        with ``metrics_to_host`` (the srn_train lagged-readback protocol).
-        ``fake_idx``: (K, B) int32 host array; ``seed``: window-start
-        iteration (resume replays the same stream)."""
-        mesh = self.trainer.mesh
-        if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
-            from dasr_tpu.core import mesh as meshlib
-
-            fake_idx = meshlib.shard_stacked_batch(mesh, fake_idx)
-        self.state, metrics = self._banked_step(self.state, fake_idx, seed)
-        return metrics
-
     def save(self, ckpt_dir: str, iter_step: int):
         checkpoints.save_checkpoint(ckpt_dir, self.state, iter_step)
 
@@ -786,7 +796,7 @@ class DegradationModel(_InferenceMixin):
         checkpoints.save_checkpoint(ckpt_dir, {"g": self.state.params}, iter_step)
 
 
-class DASRAdaptiveModel(_InferenceMixin):
+class DASRAdaptiveModel(_InferenceMixin, _BankedTrainMixin):
     """'DASR_Adaptive_Model' — online-DDM DASR variant."""
 
     chop_threshold = 320000  # DASR_Adaptive_model.py chop gate
@@ -828,6 +838,7 @@ class DASRAdaptiveModel(_InferenceMixin):
             patchd_fs_type=net_pd.get("FS_type", "avg_pool") or "avg_pool",
             patchd_kernel_size=net_pd.get("kernel_size", 5) or 5,
             patchd_norm_layer=net_pd.get("norm_layer", "Instance") or "Instance",
+            seed=int(train.get("manual_seed", 0) or 0),
             dtype=jnp.bfloat16 if opt.get("bf16", True) else None,
         )
         patchd_variables = None

@@ -224,9 +224,66 @@ class DASRAdaptiveTrainer(SRNTrainer):
         new_base = GANTrainState(step=base.step + 1, g=new_g, d_target=new_d)
         return AdaptiveState(base=new_base, patchd=new_patchd), metrics
 
+    def _frozen(self):
+        return (
+            {"lpips": self.lpips_variables} if self.cfg.feature_weight > 0 else {}
+        )
+
     def train_step(self, state: AdaptiveState, batch, do_g=True, do_d=True):
-        frozen = {"lpips": self.lpips_variables} if self.cfg.feature_weight > 0 else {}
-        return self._adaptive_step(state, batch, frozen, do_g=do_g, do_d=do_d)
+        return self._adaptive_step(state, batch, self._frozen(), do_g=do_g,
+                                   do_d=do_d)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "hr_size", "use_flip", "use_rot",
+                         "do_g", "do_d"),
+    )
+    def _train_banked(self, state, fake_bank, hr_bank, real_bank, ddm_bank,
+                      fake_idx, seed, frozen, hr_size, use_flip, use_rot,
+                      do_g=True, do_d=True):
+        # same signature as SRNTrainer._train_banked so the layout-pinned
+        # factory (device_bank.make_banked_srn_step) serves both trainers;
+        # ddm_bank is None here — the 'LRHR_unpair' mode has no precomputed
+        # weights (the patch discriminator computes the DDM online inside
+        # _adaptive_step) and the sampler's all-ones fake_w is unused.
+        import numpy as np
+
+        from dasr_tpu.data.device_bank import sample_dasr_batch
+
+        key = jax.random.fold_in(jax.random.key(self.cfg.seed), seed)
+
+        def body(carry, idx_row):
+            st, kk = carry
+            kk, sub = jax.random.split(kk)
+            batch = sample_dasr_batch(
+                fake_bank, hr_bank, real_bank, ddm_bank, idx_row, sub,
+                hr_size, self.cfg.scale, use_flip, use_rot,
+            )
+            st, metrics = self._adaptive_step(
+                st, batch, frozen, do_g=do_g, do_d=do_d
+            )
+            return (st, kk), metrics
+
+        if fake_idx.shape[0] == 1:
+            (state, _), metrics = body((state, key), fake_idx[0])
+            return state, metrics
+        (state, _), metrics = jax.lax.scan(body, (state, key), fake_idx)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    def train_banked_step(self, state: AdaptiveState, fake_bank, hr_bank,
+                          real_bank, ddm_bank, fake_idx, seed, hr_size: int,
+                          use_flip: bool = True, use_rot: bool = True,
+                          do_g: bool = True, do_d: bool = True):
+        """K Adaptive steps sampling from device-resident banks — the
+        'LRHR_unpair' analog of SRNTrainer.train_banked_step (same law
+        minus the DDM bank; weights come from the patch D online)."""
+        import numpy as np
+
+        return self._train_banked(
+            state, fake_bank, hr_bank, real_bank, ddm_bank, fake_idx,
+            np.uint32(seed), self._frozen(), hr_size, use_flip, use_rot,
+            do_g=do_g, do_d=do_d,
+        )
 
     @functools.partial(jax.jit, static_argnames=("self", "do_g", "do_d"))
     def _adaptive_multi(self, state, batches, frozen, do_g=True, do_d=True):

@@ -357,3 +357,85 @@ def test_srn_banked_cli_mode_fallback(srn_corpus, tmp_path, capsys):
     srn_train.main(["-opt", str(cfg), "--device_bank"])
     out = capsys.readouterr().out
     assert "G/D_update_inter != 1" in out and "using the host loader" in out
+
+
+def test_adaptive_banked_step_matches_train_step():
+    """DASRAdaptiveTrainer.train_banked_step (ddm_bank=None — the
+    'LRHR_unpair' mode computes weights online) == train_step on the same
+    sampled batch; the sampler's all-ones fake_w is ignored."""
+    from dasr_tpu.train.dasr_adaptive_trainer import (
+        AdaptiveConfig,
+        DASRAdaptiveTrainer,
+    )
+
+    cfg = AdaptiveConfig(scale=4, nf=8, nb=1, gc=4, nb_ada=1, d_nf=8,
+                         d_n_layers=1, feature_weight=0.0,
+                         gan_H_target=0.005, use_patchD_opt=True, seed=3)
+    tr = DASRAdaptiveTrainer(cfg)
+    state = tr.init_state(jax.random.key(0), lr_size=8)
+
+    rng = np.random.default_rng(1)
+    mk = lambda d, hw: ImageBank(
+        jnp.asarray(d), jnp.asarray([[hw, hw]] * d.shape[0], np.int32)
+    )
+    fb = mk(rng.integers(0, 255, (3, 40, 40, 3), np.uint8), 40)
+    hb = mk(rng.integers(0, 255, (3, 160, 160, 3), np.uint8), 160)
+    rb = mk(rng.integers(0, 255, (2, 40, 40, 3), np.uint8), 40)
+
+    idx = np.array([[0, 2]], np.int32)
+    s1, m1 = tr.train_banked_step(state, fb, hb, rb, None, idx, 9, 32)
+
+    key = jax.random.fold_in(jax.random.key(cfg.seed), np.uint32(9))
+    _, sub = jax.random.split(key)
+    batch = sample_dasr_batch(fb, hb, rb, None, jnp.asarray(idx[0]), sub,
+                              32, 4, True, True)
+    s2, m2 = tr.train_step(state, batch)
+    for a, b in zip(jax.tree.leaves(s1.base.g.params),
+                    jax.tree.leaves(s2.base.g.params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-6
+        )
+    for k in m1:
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_adaptive_banked_cli_runs(srn_corpus, tmp_path, capsys):
+    """srn_train --device_bank with the DASR_Adaptive_Model +
+    'LRHR_unpair' pair (3 banks, online DDM) on the conftest mesh."""
+    from dasr_tpu.cli import srn_train
+
+    shipped = os.path.join(
+        os.path.dirname(__file__), "..", "dasr_tpu", "configs", "train",
+        "train_DASR_Adaptive.json",
+    )
+    from dasr_tpu.core.config import _strip_json_comments
+
+    cfg = json.loads(_strip_json_comments(open(shipped).read()))
+    cfg["val_lpips"] = False
+    cfg["network_G"].update({"nf": 16, "nb": 1, "gc": 8, "ada_nb": 1})
+    cfg["network_D"].update({"nf": 16})
+    cfg["datasets"]["train"].update({
+        "batch_size": 2, "HR_size": 64, "n_workers": 2,
+        "dataroot_HR": str(srn_corpus["hr"]),
+        "dataroot_fake_LR": str(srn_corpus["fake_lr"]),
+        "dataroot_real_LR": str(srn_corpus["real_lr"]),
+    })
+    cfg["datasets"]["val"].update({
+        "dataroot_HR": str(srn_corpus["val_hr"]),
+        "dataroot_LR": str(srn_corpus["val_lr"]),
+    })
+    cfg["path"]["root"] = str(tmp_path / "exp")
+    cfg["train"].update({"niter": 2, "val_freq": 99})
+    cfg["logger"].update({"print_freq": 1, "save_checkpoint_freq": 99})
+    p = tmp_path / "ada.json"
+    p.write_text(json.dumps(cfg))
+    srn_train.main(["-opt", str(p), "--device_bank"])
+    out = capsys.readouterr().out
+    assert "device bank:" in out and "GiB resident" in out
+    exp = tmp_path / "exp" / cfg["name"]
+    lines = [json.loads(ln) for ln in open(exp / "metrics.jsonl")]
+    loss = [l for l in lines if any(k.startswith("loss/") for k in l)]
+    assert loss and loss[-1]["step"] == 2
+    assert all(np.isfinite(v) for l in loss for k, v in l.items()
+               if k.startswith("loss/"))
