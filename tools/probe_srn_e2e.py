@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--workers", type=int, default=6)
     ap.add_argument("--device_bank", action="store_true")
     ap.add_argument("--hlo_check", action="store_true")
+    # net-size overrides for smoke runs (defaults = production DASR)
+    ap.add_argument("--nf", type=int, default=64)
+    ap.add_argument("--nb", type=int, default=23)
+    ap.add_argument("--gc", type=int, default=32)
+    ap.add_argument("--feature_weight", type=float, default=1.0)
     args = ap.parse_args()
 
     from dasr_tpu.utils.runtime import setup_runtime
@@ -62,7 +67,8 @@ def main():
     enable_decode_cache(24)
 
     # the production DASR configuration (train_DASR_auto_reproduce.json)
-    cfg = SRNConfig(nf=64, nb=23, gc=32, d_nf=64, gan_H_source=0.0)
+    cfg = SRNConfig(nf=args.nf, nb=args.nb, gc=args.gc, d_nf=64,
+                    gan_H_source=0.0, feature_weight=args.feature_weight)
     trainer = SRNTrainer(cfg)
     lr_size = args.hr_size // cfg.scale
     state = trainer.init_state(jax.random.key(0), lr_size=lr_size)
